@@ -1,0 +1,18 @@
+#!/usr/bin/env python
+"""pCE + Mumford-Shah loss (reference: code/train_weakly_supervised_pCE_MumfordShah_Loss_2D.py)
+
+Thin wrapper over wsl4mis_tpu.cli keeping the reference flag names.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from wsl4mis_tpu.cli import train_main
+
+METHOD = 'pce_mumford_shah'
+DEFAULTS = {'exp': 'ACDC_pCE_MumfordShah_Loss', 'fold': 'fold1', 'sup_type': 'scribble', 'batch_size': 12, 'base_lr': 0.01, 'max_iterations': 60000, 'seed': 2022}
+
+if __name__ == "__main__":
+    print(train_main(METHOD, DEFAULTS))

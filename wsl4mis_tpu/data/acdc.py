@@ -118,6 +118,7 @@ class AcdcSliceDataset:
     labeled_type: str | None = None  # None | "labeled" | "unlabeled"
     patch_size: tuple[int, int] = (256, 256)
     keep_native: bool = False
+    limit: int | None = None  # cap slice count (fast tests/smoke runs)
 
     images: np.ndarray = field(init=False, repr=False)
     labels: np.ndarray = field(init=False, repr=False)
@@ -142,6 +143,8 @@ class AcdcSliceDataset:
         )
         if not names:
             raise FileNotFoundError(f"no slices for {self.fold} in {slices_dir}")
+        if self.limit is not None:
+            names = names[: self.limit]
 
         imgs, labs, dense = [], [], []
         native_i: list[np.ndarray] = []
@@ -182,6 +185,7 @@ class AcdcVolumeDataset:
 
     base_dir: str | None = None
     fold: str = "fold1"
+    limit: int | None = None
 
     cases: list[str] = field(init=False, repr=False)
     volumes: list[dict] = field(init=False, repr=False)
@@ -194,6 +198,8 @@ class AcdcVolumeDataset:
         names = sorted(
             f for f in os.listdir(vol_dir) if f.split("_")[0] in wanted
         )
+        if self.limit is not None:
+            names = names[: self.limit]
         self.cases = names
         self.volumes = []
         for name in names:

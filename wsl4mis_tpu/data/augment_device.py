@@ -64,6 +64,62 @@ def _rot90_flip(img: jnp.ndarray, k: jnp.ndarray, axis: jnp.ndarray) -> jnp.ndar
     return jnp.where(axis == 0, rotated[::-1, :], rotated[:, ::-1])
 
 
+def _augment_one_multi(key, arrays, cvals):
+    """Apply one sampled transform jointly to several (H, W)/(H, W, K) maps.
+
+    arrays: tuple of arrays sharing leading (H, W) dims; cvals: fill value
+    per array for the rotate branch. Trailing channel dims are transformed
+    channelwise (used by S2L's per-pixel EMA weight buffer,
+    dataset_s2l.py:126-152).
+    """
+    k_branch, k_aux = jax.random.split(key)
+    u1, u2 = jax.random.uniform(k_branch, (2,))
+    branch = jnp.where(u1 > 0.5, 0, jnp.where(u2 > 0.5, 1, 2))
+    k_rot = jax.random.randint(k_aux, (), 0, 4)
+    k_a, k_b = jax.random.split(k_aux)
+    axis = jax.random.randint(k_a, (), 0, 2)
+    angle = jax.random.randint(k_b, (), -20, 20)
+
+    def _apply2d(fn, arr):
+        if arr.ndim == 2:
+            return fn(arr)
+        moved = jnp.moveaxis(arr, -1, 0)
+        return jnp.moveaxis(jax.vmap(fn)(moved), 0, -1)
+
+    def do_rotflip(args):
+        return tuple(
+            _apply2d(lambda a: _rot90_flip(a, k_rot, axis), arr) for arr in args
+        )
+
+    def do_rotate(args):
+        return tuple(
+            _apply2d(lambda a, cv=cv: _rotate_nearest(a, angle, cv), arr)
+            for arr, cv in zip(args, cvals)
+        )
+
+    def do_identity(args):
+        return args
+
+    return jax.lax.switch(
+        branch, [do_rotflip, do_rotate, do_identity], tuple(arrays)
+    )
+
+
+def augment_batch_s2l(rng, images, scribbles, weights):
+    """Joint augmentation of (image, scribble, 4-ch weight) for S2L.
+
+    Parity note: dataset_s2l.py:118-123 rotates *all* maps with the default
+    cval=0 (the scribble is not filled with the ignore class there).
+    """
+    b = images.shape[0]
+    keys = jax.random.split(rng, b)
+
+    def one(key, img, scr, wgt):
+        return _augment_one_multi(key, (img, scr, wgt), (0.0, 0, 0.0))
+
+    return jax.vmap(one)(keys, images, scribbles, weights)
+
+
 def _augment_one(key, image: jnp.ndarray, label: jnp.ndarray):
     k_branch, k_aux = jax.random.split(key)
     u1, u2 = jax.random.uniform(k_branch, (2,))

@@ -49,6 +49,7 @@ class TrainConfig:
     num_devices: int | None = None      # None -> all local devices
     resume: bool = False
     profile_steps: int = 0              # >0: capture a jax profiler trace
+    data_limit: int | None = None       # cap dataset size (tests/smoke)
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

@@ -63,9 +63,13 @@ def standard_data(cfg: TrainConfig, **ds_kwargs):
         fold=cfg.fold,
         sup_type=cfg.sup_type,
         patch_size=cfg.patch_size,
+        limit=cfg.data_limit,
         **ds_kwargs,
     )
-    val = AcdcVolumeDataset(base_dir=cfg.root_path, fold=cfg.fold)
+    val = AcdcVolumeDataset(
+        base_dir=cfg.root_path, fold=cfg.fold,
+        limit=(4 if cfg.data_limit else None),
+    )
     it = batch_iterator(train, cfg.batch_size, seed=cfg.seed)
     steps_per_epoch = len(train) // cfg.batch_size
     return train, val, it, steps_per_epoch
