@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""ScribbleVC training on ACDC (reference: code/train_ACDC_scribblevc.py).
+
+Epoch-based schedule: 200 epochs over the MAAG fold, AdamW 5e-4,
+validation every epoch with the CAM decision rule.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from wsl4mis_tpu.engine.config import TrainConfig
+from wsl4mis_tpu.engine.methods import get_method
+from wsl4mis_tpu.engine.trainer import Trainer
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--root_path", type=str, default=None)
+parser.add_argument("--exp", type=str, default="ACDC_ScribbleVC")
+parser.add_argument("--fold", type=str, default="MAAGfold")
+parser.add_argument("--sup_type", type=str, default="scribble")
+parser.add_argument("--num_classes", type=int, default=4)
+parser.add_argument("--batch_size", type=int, default=6)
+parser.add_argument("--max_epoches", type=int, default=200)
+parser.add_argument("--val_every_epoches", type=int, default=1)
+parser.add_argument("--lr", type=float, default=5e-4)
+parser.add_argument("--seed", type=int, default=2022)
+parser.add_argument("--patch_size", type=str, default="[256, 256]")
+parser.add_argument("--compute_dtype", type=str, default="bfloat16")
+parser.add_argument("--snapshot_root", type=str, default="model")
+parser.add_argument("--data_limit", type=int, default=None)
+
+if __name__ == "__main__":
+    import ast
+
+    args = parser.parse_args()
+    cfg = TrainConfig(
+        root_path=args.root_path,
+        exp=args.exp,
+        fold=args.fold,
+        sup_type=args.sup_type,
+        model="scribblevc",
+        num_classes=args.num_classes,
+        batch_size=args.batch_size,
+        base_lr=args.lr,
+        patch_size=tuple(ast.literal_eval(args.patch_size)),
+        seed=args.seed,
+        method="scribblevc",
+        compute_dtype=args.compute_dtype,
+        snapshot_root=args.snapshot_root,
+        data_limit=args.data_limit,
+        max_iterations=1,  # fixed up after the dataset size is known
+    )
+    bundle = get_method("scribblevc").build(cfg)
+    cfg = cfg.replace(
+        max_iterations=args.max_epoches * bundle.steps_per_epoch,
+        val_every=args.val_every_epoches * bundle.steps_per_epoch,
+        ckpt_every=100 * bundle.steps_per_epoch,
+    )
+    print(Trainer(cfg, bundle).train())

@@ -20,7 +20,7 @@ FAST_METHODS = [
     "partially_supervised",
     "s2l",
 ]
-SLOW_METHODS = ["pce_gatedcrf", "ustm", "uamt", "deep_adversarial"]
+SLOW_METHODS = ["pce_gatedcrf", "ustm", "uamt", "deep_adversarial", "scribblevc"]
 # needs generated random-walker pseudo-label data (data prep tool)
 DATA_GATED_METHODS = ["pce_random_walker"]
 

@@ -64,6 +64,62 @@ def fold_ids(fold: str) -> tuple[list[str], list[str]]:
     return train, sorted(testing)
 
 
+_MAAG_TRAIN35 = [37, 50, 53, 100, 38, 19, 61, 74, 97, 31, 91, 35, 56, 94,
+                 26, 69, 46, 59, 4, 89, 71, 6, 52, 43, 45, 63, 93, 14, 98,
+                 88, 21, 28, 99, 54, 90]
+_MAAG_TRAIN70 = _MAAG_TRAIN35 + [2, 76, 34, 85, 70, 86, 3, 8, 51, 40, 7, 13,
+                                 47, 55, 12, 58, 87, 9, 65, 62, 33, 42, 23,
+                                 92, 29, 11, 83, 68, 75, 67, 16, 48, 66, 20,
+                                 15]
+_MAAG_VAL = [84, 32, 27, 96, 17, 18, 57, 81, 79, 22, 1, 44, 49, 25, 95]
+# held-out offline test set (test_ACDC_scribblevc.py:45-46)
+_MAAG_TEST = [5, 39, 77, 82, 78, 10, 64, 24, 30, 73, 80, 41, 36, 60, 72]
+
+
+def maag_test_ids() -> list[str]:
+    return ["patient{:0>3}".format(i) for i in _MAAG_TEST]
+
+
+def maag_fold_ids(fold: str, seed: int = 0) -> tuple[list[str], list[str]]:
+    """ScribbleVC's MAAG benchmark splits (dataset_scribblevc.py:314-336).
+
+    'MAAGfold' = 35 train patients, 'MAAGfold70' = 70, 'MAAGfoldN' = a
+    random N-subset of the 70; validation is a fixed 15-patient set.
+    """
+    fmt = "patient{:0>3}".format
+    val = [fmt(i) for i in _MAAG_VAL]
+    if fold == "MAAGfold":
+        return [fmt(i) for i in _MAAG_TRAIN35], val
+    if fold == "MAAGfold70":
+        return [fmt(i) for i in _MAAG_TRAIN70], val
+    if fold.startswith("MAAGfold"):
+        n = int(fold[8:])
+        rng = np.random.RandomState(seed)
+        chosen = rng.choice(_MAAG_TRAIN70, size=n, replace=False)
+        return [fmt(i) for i in chosen], val
+    raise KeyError(f"unknown MAAG fold {fold!r}")
+
+
+_MSCMR_TRAIN = [13, 14, 15, 18, 19, 20, 21, 22, 24, 25, 26, 27, 2, 31, 32,
+                34, 37, 39, 42, 44, 45, 4, 6, 7, 9]
+_MSCMR_VAL = [1, 29, 36, 41, 8]
+
+
+def mscmr_fold_ids() -> tuple[list[str], list[str]]:
+    """MSCMR fixed split (dataset_scribblevc.py:406-410; 2-digit ids)."""
+    fmt = "patient{:0>2}".format
+    return [fmt(i) for i in _MSCMR_TRAIN], [fmt(i) for i in _MSCMR_VAL]
+
+
+def resolve_fold_ids(fold: str) -> tuple[list[str], list[str]]:
+    """fold1..5 (20-patient holdout), MAAGfold*, or MSCMRfold splits."""
+    if fold.startswith("MAAGfold"):
+        return maag_fold_ids(fold)
+    if fold == "MSCMRfold":
+        return mscmr_fold_ids()
+    return fold_ids(fold)
+
+
 def labeled_patient_ids(fold: str) -> tuple[list[str], list[str]]:
     """Semi-supervised (labeled, unlabeled) patient split within a fold.
 
@@ -119,6 +175,7 @@ class AcdcSliceDataset:
     patch_size: tuple[int, int] = (256, 256)
     keep_native: bool = False
     limit: int | None = None  # cap slice count (fast tests/smoke runs)
+    slices_dirname: str = "ACDC_training_slices"
 
     images: np.ndarray = field(init=False, repr=False)
     labels: np.ndarray = field(init=False, repr=False)
@@ -130,8 +187,8 @@ class AcdcSliceDataset:
 
     def __post_init__(self):
         base = self.base_dir or default_acdc_root()
-        slices_dir = os.path.join(base, "ACDC_training_slices")
-        train_ids, _ = fold_ids(self.fold)
+        slices_dir = os.path.join(base, self.slices_dirname)
+        train_ids, _ = resolve_fold_ids(self.fold)
         if self.labeled_type is not None:
             labeled, unlabeled = labeled_patient_ids(self.fold)
             wanted = labeled if self.labeled_type == "labeled" else unlabeled
@@ -186,14 +243,19 @@ class AcdcVolumeDataset:
     base_dir: str | None = None
     fold: str = "fold1"
     limit: int | None = None
+    volumes_dirname: str = "ACDC_training_volumes"
+    custom_patients: list | None = None  # overrides the fold's test ids
 
     cases: list[str] = field(init=False, repr=False)
     volumes: list[dict] = field(init=False, repr=False)
 
     def __post_init__(self):
         base = self.base_dir or default_acdc_root()
-        vol_dir = os.path.join(base, "ACDC_training_volumes")
-        _, test_ids = fold_ids(self.fold)
+        vol_dir = os.path.join(base, self.volumes_dirname)
+        if self.custom_patients is not None:
+            test_ids = list(self.custom_patients)
+        else:
+            _, test_ids = resolve_fold_ids(self.fold)
         wanted = set(test_ids)
         names = sorted(
             f for f in os.listdir(vol_dir) if f.split("_")[0] in wanted

@@ -28,6 +28,8 @@ _METHODS = {
     "entropy_minimization": "mean_teacher",          # train_entropy_minimization_2D.py
     "partially_supervised": "mean_teacher",          # train_partially_fully_supervised.py
     "deep_adversarial": "deep_adversarial",          # train_deep_adversarial_network_2D.py
+    # ScribbleVC (train_ACDC_scribblevc.py / train_MSCMR_scribblevc.py)
+    "scribblevc": "scribblevc",
 }
 
 

@@ -32,6 +32,8 @@ class MethodBundle:
     val_volumes: AcdcVolumeDataset
     steps_per_epoch: int
     host_hook: Callable | None = None   # (bundle, state, iter_num) -> state
+    predictor: Any | None = None        # VolumePredictor override
+    val_variables: Callable | None = None  # (state) -> variables dict
 
 
 def compute_dtype(cfg: TrainConfig):

@@ -56,7 +56,9 @@ class Trainer:
         if self.multi_device:
             self.state = replicate_tree(self.mesh, self.state)
         self.step_fn = jax.jit(bundle.step_fn, donate_argnums=0)
-        self.predictor = VolumePredictor(bundle.model, cfg.patch_size)
+        self.predictor = bundle.predictor or VolumePredictor(
+            bundle.model, cfg.patch_size
+        )
         self.base_rng = jax.random.key(cfg.seed)
 
         self.writer = None
@@ -86,10 +88,13 @@ class Trainer:
         return cfg.base_lr * (1.0 - iter_num / cfg.max_iterations) ** 0.9
 
     def validate(self, iter_num: int) -> tuple[float, float]:
-        variables = {
-            "params": self.state.params,
-            "batch_stats": self.state.batch_stats,
-        }
+        if self.bundle.val_variables is not None:
+            variables = self.bundle.val_variables(self.state)
+        else:
+            variables = {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+            }
         metric_list = evaluate_fold(
             self.predictor, variables, self.bundle.val_volumes,
             self.cfg.num_classes,

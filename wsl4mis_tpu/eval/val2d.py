@@ -52,16 +52,26 @@ class VolumePredictor:
         multiple so jit sees few distinct shapes.
     """
 
-    def __init__(self, model, patch_size=(256, 256), bucket: int = 8):
+    def __init__(self, model, patch_size=(256, 256), bucket: int = 8,
+                 decision_fn=None, apply_kwargs=None):
+        """decision_fn(outputs) -> (B, H, W) int class map; defaults to
+        argmax of the first output head. apply_kwargs are forwarded to
+        model.apply (e.g. ScribbleVC's use_class_rep)."""
         self.model = model
         self.patch_size = tuple(patch_size)
         self.bucket = bucket
+        apply_kwargs = apply_kwargs or {}
 
-        def fwd(variables, x):
-            out = model.apply(variables, x, train=False)
+        def default_decision(out):
             if isinstance(out, (tuple, list)):
                 out = out[0]
             return jnp.argmax(out, axis=-1).astype(jnp.int32)
+
+        decide = decision_fn or default_decision
+
+        def fwd(variables, x):
+            out = model.apply(variables, x, train=False, **apply_kwargs)
+            return decide(out).astype(jnp.int32)
 
         self._fwd = jax.jit(fwd)
 

@@ -15,6 +15,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from .efficientunet import EffiUNet
 from .pnet import PNet2D
 from .unet import UNet, UNetCCT, UNetCCT3H, UNetDS
 
@@ -23,7 +24,8 @@ _REGISTRY = {
     "unet_cct": UNetCCT,
     "unet_cct_3h": UNetCCT3H,
     "unet_ds": UNetDS,
-    "pnet": lambda num_classes, dtype: PNet2D(num_classes=num_classes, dtype=dtype),
+    "pnet": PNet2D,
+    "efficient_unet": EffiUNet,
 }
 
 # Model types whose forward pass needs a 'feature_perturb' rng when training.
@@ -36,12 +38,20 @@ MODEL_NUM_OUTPUTS = {
     "unet_cct_3h": 3,
     "unet_ds": 4,
     "pnet": 1,
+    "efficient_unet": 1,
 }
 
 
 def net_factory(net_type: str = "unet", class_num: int = 4, dtype: Any = jnp.bfloat16):
+    """Parity: networks/net_factory.py:6-22 (efficient_unet uses the
+    'efficientnet-b3' encoder there; ImageNet weights are unavailable in
+    this offline environment, so it initializes randomly)."""
     if net_type == "pnet":
         return PNet2D(num_classes=class_num, dtype=dtype)
+    if net_type == "efficient_unet":
+        return EffiUNet(
+            encoder_name="efficientnet-b3", num_classes=class_num, dtype=dtype
+        )
     try:
         cls = _REGISTRY[net_type]
     except KeyError:
