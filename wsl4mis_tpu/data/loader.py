@@ -12,11 +12,39 @@ drop_last=False, and it only reorders which samples share a batch).
 
 from __future__ import annotations
 
+import queue
+import threading
 from typing import Iterator
 
 import numpy as np
 
 from .acdc import AcdcSliceDataset
+
+
+def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
+    """Background-thread prefetch of host batches.
+
+    The functional equivalent of the reference's DataLoader workers /
+    pyutils.BatchThreader (tool/pyutils.py:74-121): batch assembly overlaps
+    with device compute so the accelerator never waits on the host.
+    """
+    q: queue.Queue = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item
 
 
 def batch_iterator(

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops import losses
-from ...ops.gated_crf import gated_crf_loss
+from ...ops.gated_crf import select_gated_crf
 from ..config import TrainConfig
 from .common import (
     MethodBundle,
@@ -63,6 +63,7 @@ def _inter_class_variance(probs, img):
 def make_step(cfg: TrainConfig):
     method = cfg.method
     num_classes = cfg.num_classes
+    gated_crf_loss = select_gated_crf()
 
     def step_fn(state, batch, rng):
         rngs = split_rngs(rng)

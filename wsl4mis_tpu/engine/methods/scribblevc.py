@@ -29,7 +29,7 @@ from ...data import AcdcSliceDataset, AcdcVolumeDataset, batch_iterator
 from ...eval.val2d import VolumePredictor
 from ...models.scribblevc import ScribbleVC
 from ...ops import losses
-from ...ops.gated_crf import gated_crf_loss
+from ...ops.gated_crf import select_gated_crf
 from ..config import TrainConfig
 from ..state import TrainState
 from .common import MethodBundle, compute_dtype, prep_batch, split_rngs
@@ -55,6 +55,7 @@ def make_step(cfg: TrainConfig, model: ScribbleVC, steps_per_epoch: int):
     num_classes = cfg.num_classes
     w_pse, w_crf, w_cls = 0.1, 0.1, 0.1
     ignore = 0 if cfg.sup_type == "label" else 4
+    gated_crf_loss = select_gated_crf()
 
     def step_fn(state, batch, rng):
         rngs = split_rngs(rng)

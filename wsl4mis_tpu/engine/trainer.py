@@ -18,11 +18,13 @@ from __future__ import annotations
 
 import logging
 import os
+import shutil
 import time
 
 import jax
 import numpy as np
 
+from ..data.loader import prefetch
 from ..eval.val2d import VolumePredictor, evaluate_fold
 from ..parallel.mesh import make_mesh, replicate_tree, shard_batch
 from ..utils.checkpoint import (
@@ -43,6 +45,7 @@ class Trainer:
         self.snapshot_path = cfg.snapshot_path
         os.makedirs(self.snapshot_path, exist_ok=True)
         setup_run_logging(self.snapshot_path)
+        self._snapshot_code()
 
         self.mesh = make_mesh(cfg.num_devices)
         self.multi_device = self.mesh.devices.size > 1
@@ -56,6 +59,7 @@ class Trainer:
         if self.multi_device:
             self.state = replicate_tree(self.mesh, self.state)
         self.step_fn = jax.jit(bundle.step_fn, donate_argnums=0)
+        self.data_iter = prefetch(bundle.data_iter, size=4)
         self.predictor = bundle.predictor or VolumePredictor(
             bundle.model, cfg.patch_size
         )
@@ -79,6 +83,20 @@ class Trainer:
                 )
 
     # ------------------------------------------------------------------
+    def _snapshot_code(self):
+        """Copy the library into the run dir for provenance
+        (train_fully_supervised_2D.py:198-201)."""
+        try:
+            src = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            dst = os.path.join(self.snapshot_path, "code")
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            shutil.copytree(
+                src, dst, ignore=shutil.ignore_patterns("__pycache__", ".git")
+            )
+        except OSError as e:  # pragma: no cover - best effort
+            logging.warning("code snapshot failed: %s", e)
+
     def _scalar(self, tag, value, step):
         if self.writer is not None:
             self.writer.add_scalar(tag, float(value), step)
@@ -121,7 +139,7 @@ class Trainer:
         metrics = {}
 
         while iter_num < cfg.max_iterations:
-            batch = next(self.bundle.data_iter)
+            batch = next(self.data_iter)
             if self.multi_device:
                 batch = shard_batch(self.mesh, batch)
             if cfg.profile_steps and iter_num == 10:

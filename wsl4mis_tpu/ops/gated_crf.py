@@ -98,3 +98,20 @@ def gated_crf_loss(
     loss = ksum - jnp.sum(prod * probs)
     denom = b * h * w
     return loss / denom
+
+
+def select_gated_crf(prefer_pallas: str = "auto"):
+    """Pick the GatedCRF implementation: the Pallas TPU kernel when running
+    on TPU (prefer_pallas='auto'|'always'), else the fused-scan XLA
+    version. Both are numerically interchangeable (tested)."""
+    if prefer_pallas == "never":
+        return gated_crf_loss
+    try:
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover - backend probe
+        on_tpu = False
+    if prefer_pallas == "always" or (prefer_pallas == "auto" and on_tpu):
+        from .pallas.gated_crf_pallas import gated_crf_loss_pallas
+
+        return lambda probs, image: gated_crf_loss_pallas(probs, image)
+    return gated_crf_loss

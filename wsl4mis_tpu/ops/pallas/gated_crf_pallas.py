@@ -37,27 +37,30 @@ from ..gated_crf import DEFAULT_KERNELS_DESC, _features
 def _gcrf_kernel(fpad_ref, ppad_ref, prod_ref, ksum_ref, *, radius, h, w,
                  nf, nc, weight):
     d = 2 * radius + 1
-    center = [
-        fpad_ref[0, c, pl.ds(radius, h), pl.ds(radius, w)] for c in range(nf)
-    ]
+    center = [fpad_ref[0, c, radius:radius + h, radius:radius + w]
+              for c in range(nf)]
 
-    prod_ref[...] = jnp.zeros_like(prod_ref)
+    # Mosaic needs statically-analyzable sublane/lane offsets, so the
+    # offset loop is a static unroll of (2r+1)^2 - 1 shifted windows; each
+    # body is a handful of fused vector loop nests over the (h, w) tile.
+    prod = [jnp.zeros((h, w), jnp.float32) for _ in range(nc)]
+    ksum = jnp.zeros((), jnp.float32)
+    for dy in range(d):
+        for dx in range(d):
+            if dy == radius and dx == radius:
+                continue
+            sq = jnp.zeros((h, w), jnp.float32)
+            for c in range(nf):
+                diff = fpad_ref[0, c, dy:dy + h, dx:dx + w] - center[c]
+                sq += diff * diff
+            kern = weight * jnp.exp(-0.5 * sq)
+            for c in range(nc):
+                prod[c] += kern * ppad_ref[0, c, dy:dy + h, dx:dx + w]
+            ksum += jnp.sum(kern)
 
-    def body(i, ksum):
-        dy = i // d
-        dx = i % d
-        sq = jnp.zeros((h, w), jnp.float32)
-        for c in range(nf):
-            diff = fpad_ref[0, c, pl.ds(dy, h), pl.ds(dx, w)] - center[c]
-            sq += diff * diff
-        kern = weight * jnp.exp(-0.5 * sq)
-        # zero the center offset (i == radius*d + radius)
-        kern = jnp.where(i == radius * d + radius, 0.0, kern)
-        for c in range(nc):
-            prod_ref[0, c] += kern * ppad_ref[0, c, pl.ds(dy, h), pl.ds(dx, w)]
-        return ksum + jnp.sum(kern)
-
-    ksum_ref[0, 0, 0] = jax.lax.fori_loop(0, d * d, body, 0.0)
+    for c in range(nc):
+        prod_ref[0, c] = prod[c]
+    ksum_ref[0, 0, 0] = ksum
 
 
 def _gcrf_products(probs_chw, feats_chw, radius: int, weight: float,
