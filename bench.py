@@ -47,18 +47,12 @@ def main():
     bundle = get_method(cfg.method).build(cfg)
     step = jax.jit(bundle.step_fn, donate_argnums=0)
 
-    # Pre-stage a few device batches so host IO is out of the timing loop
-    # (the real input pipeline is a RAM take + H2D copy; augmentation runs
-    # inside the step).
-    batches = []
-    for i in range(8):
-        b = next(bundle.data_iter)
-        batches.append(
-            {
-                "image": jax.device_put(b["image"]),
-                "label": jax.device_put(b["label"]),
-            }
-        )
+    # The production input pipeline: the dataset lives in device HBM and a
+    # batch is a (B,) index vector; gather + augmentation run in the step.
+    batches = [
+        {k: jax.device_put(v) for k, v in next(bundle.data_iter).items()}
+        for _ in range(8)
+    ]
 
     state = bundle.state
     rng = jax.random.key(0)

@@ -50,8 +50,6 @@ class TrainConfig:
     resume: bool = False
     profile_steps: int = 0              # >0: capture a jax profiler trace
     data_limit: int | None = None       # cap dataset size (tests/smoke)
-    device_data: bool = True            # stage the dataset in HBM; batches
-                                        # become on-device index gathers
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

@@ -59,14 +59,7 @@ def make_model_and_state(cfg: TrainConfig, *, model_name=None, extra=None,
 
 
 def standard_data(cfg: TrainConfig, **ds_kwargs):
-    """Single-stream scribble/label dataset + fold val volumes.
-
-    With cfg.device_data (default), the pre-zoomed slice stack is staged
-    once into device memory (ACDC: ~0.4 GB f32 + uint8 labels, far under
-    one chip's HBM) and the host loop only ships a (B,) int index vector
-    per step — the gather + augmentation run on device inside the jitted
-    step, eliminating the per-step H2D image copy entirely.
-    """
+    """Single-stream scribble/label dataset + fold val volumes."""
     train = AcdcSliceDataset(
         base_dir=cfg.root_path,
         fold=cfg.fold,
@@ -79,42 +72,14 @@ def standard_data(cfg: TrainConfig, **ds_kwargs):
         base_dir=cfg.root_path, fold=cfg.fold,
         limit=(4 if cfg.data_limit else None),
     )
-    if cfg.device_data:
-        it = batch_iterator(
-            train, cfg.batch_size, seed=cfg.seed, include_index=True,
-        )
-        it = ({"index": b["index"].astype("int32")} for b in it)
-    else:
-        it = batch_iterator(train, cfg.batch_size, seed=cfg.seed)
+    it = batch_iterator(train, cfg.batch_size, seed=cfg.seed)
     steps_per_epoch = len(train) // cfg.batch_size
     return train, val, it, steps_per_epoch
 
 
-def stage_dataset(cfg: TrainConfig, train: AcdcSliceDataset):
-    """Device-resident (images f32, labels uint8) arrays, or None."""
-    if not cfg.device_data:
-        return None
-    import numpy as np
-
-    return {
-        "images": jax.device_put(train.images),
-        "labels": jax.device_put(train.labels.astype(np.uint8)),
-    }
-
-
-def prep_batch(rng, batch, staged=None):
-    """On-device augmentation + NHWC expansion. Returns (x, labels).
-
-    batch is either {'image','label'} host arrays or {'index'} with the
-    dataset staged in device memory.
-    """
-    if staged is not None and "index" in batch:
-        idx = batch["index"]
-        images = jnp.take(staged["images"], idx, axis=0)
-        labels = jnp.take(staged["labels"], idx, axis=0).astype(jnp.int32)
-    else:
-        images, labels = batch["image"], batch["label"]
-    imgs, labs = augment_batch(rng, images, labels)
+def prep_batch(rng, batch):
+    """On-device augmentation + NHWC expansion. Returns (x, labels)."""
+    imgs, labs = augment_batch(rng, batch["image"], batch["label"])
     return imgs[..., None], labs
 
 

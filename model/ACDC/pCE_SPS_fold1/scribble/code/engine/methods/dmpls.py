@@ -22,7 +22,6 @@ from ...ops import losses
 from ..config import TrainConfig
 from .common import (
     MethodBundle,
-    stage_dataset,
     forward_train,
     make_model_and_state,
     prep_batch,
@@ -31,12 +30,12 @@ from .common import (
 )
 
 
-def make_step(cfg: TrainConfig, staged=None):
+def make_step(cfg: TrainConfig):
     num_classes = cfg.num_classes
 
     def step_fn(state, batch, rng):
         rngs = split_rngs(rng)
-        x, labels = prep_batch(rngs["aug"], batch, staged)
+        x, labels = prep_batch(rngs["aug"], batch)
         beta = jax.random.uniform(rngs["method"]) + 1e-10
 
         def loss_fn(params):
@@ -75,11 +74,11 @@ def make_step(cfg: TrainConfig, staged=None):
 
 def build(cfg: TrainConfig) -> MethodBundle:
     model, state = make_model_and_state(cfg, model_name="unet_cct")
-    train, val, it, spe = standard_data(cfg)
+    _, val, it, spe = standard_data(cfg)
     return MethodBundle(
         model=model,
         state=state,
-        step_fn=make_step(cfg, stage_dataset(cfg, train)),
+        step_fn=make_step(cfg),
         data_iter=it,
         val_volumes=val,
         steps_per_epoch=spe,

@@ -12,7 +12,6 @@ from ...ops import losses
 from ..config import TrainConfig
 from .common import (
     MethodBundle,
-    stage_dataset,
     forward_train,
     make_model_and_state,
     prep_batch,
@@ -21,10 +20,10 @@ from .common import (
 )
 
 
-def make_step(cfg: TrainConfig, staged=None):
+def make_step(cfg: TrainConfig):
     def step_fn(state, batch, rng):
         rngs = split_rngs(rng)
-        x, labels = prep_batch(rngs["aug"], batch, staged)
+        x, labels = prep_batch(rngs["aug"], batch)
 
         def loss_fn(params):
             outputs, new_bs = forward_train(
@@ -46,11 +45,11 @@ def make_step(cfg: TrainConfig, staged=None):
 
 def build(cfg: TrainConfig) -> MethodBundle:
     model, state = make_model_and_state(cfg)
-    train, val, it, spe = standard_data(cfg)
+    _, val, it, spe = standard_data(cfg)
     return MethodBundle(
         model=model,
         state=state,
-        step_fn=make_step(cfg, stage_dataset(cfg, train)),
+        step_fn=make_step(cfg),
         data_iter=it,
         val_volumes=val,
         steps_per_epoch=spe,

@@ -32,7 +32,6 @@ from ...ops.gated_crf import select_gated_crf
 from ..config import TrainConfig
 from .common import (
     MethodBundle,
-    stage_dataset,
     forward_train,
     make_model_and_state,
     prep_batch,
@@ -61,14 +60,14 @@ def _inter_class_variance(probs, img):
     return jnp.mean(_torch_std(means, 1))
 
 
-def make_step(cfg: TrainConfig, staged=None):
+def make_step(cfg: TrainConfig):
     method = cfg.method
     num_classes = cfg.num_classes
     gated_crf_loss = select_gated_crf()
 
     def step_fn(state, batch, rng):
         rngs = split_rngs(rng)
-        x, labels = prep_batch(rngs["aug"], batch, staged)
+        x, labels = prep_batch(rngs["aug"], batch)
 
         def loss_fn(params):
             outputs, new_bs = forward_train(
@@ -113,11 +112,11 @@ def make_step(cfg: TrainConfig, staged=None):
 
 def build(cfg: TrainConfig) -> MethodBundle:
     model, state = make_model_and_state(cfg)
-    train, val, it, spe = standard_data(cfg)
+    _, val, it, spe = standard_data(cfg)
     return MethodBundle(
         model=model,
         state=state,
-        step_fn=make_step(cfg, stage_dataset(cfg, train)),
+        step_fn=make_step(cfg),
         data_iter=it,
         val_volumes=val,
         steps_per_epoch=spe,
