@@ -52,6 +52,9 @@ class TrainConfig:
     data_limit: int | None = None       # cap dataset size (tests/smoke)
     device_data: bool = True            # stage the dataset in HBM; batches
                                         # become on-device index gathers
+    aug_mode: str = "device"            # "device" (in-step, default) or
+                                        # "host" (exact reference semantics:
+                                        # aug at native res, then zoom)
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

@@ -67,19 +67,23 @@ def standard_data(cfg: TrainConfig, **ds_kwargs):
     per step — the gather + augmentation run on device inside the jitted
     step, eliminating the per-step H2D image copy entirely.
     """
+    host_aug = cfg.aug_mode == "host"
     train = AcdcSliceDataset(
         base_dir=cfg.root_path,
         fold=cfg.fold,
         sup_type=cfg.sup_type,
         patch_size=cfg.patch_size,
         limit=cfg.data_limit,
+        keep_native=host_aug,
         **ds_kwargs,
     )
     val = AcdcVolumeDataset(
         base_dir=cfg.root_path, fold=cfg.fold,
         limit=(4 if cfg.data_limit else None),
     )
-    if cfg.device_data:
+    if host_aug:
+        it = _host_augmented_iterator(cfg, train)
+    elif cfg.device_data:
         it = batch_iterator(
             train, cfg.batch_size, seed=cfg.seed, include_index=True,
         )
@@ -88,6 +92,28 @@ def standard_data(cfg: TrainConfig, **ds_kwargs):
         it = batch_iterator(train, cfg.batch_size, seed=cfg.seed)
     steps_per_epoch = len(train) // cfg.batch_size
     return train, val, it, steps_per_epoch
+
+
+def _host_augmented_iterator(cfg: TrainConfig, train: AcdcSliceDataset):
+    """Exact reference augmentation path (aug at native res, then order-0
+    zoom; dataset.py:147-166 semantics) on the host."""
+    import numpy as np
+
+    from ...data.augment import HostRandomGenerator
+
+    gen = HostRandomGenerator(cfg.patch_size, seed=cfg.seed)
+    it = batch_iterator(train, cfg.batch_size, seed=cfg.seed,
+                        include_index=True)
+    for b in it:
+        imgs, labs = [], []
+        for i in b["index"]:
+            out = gen({
+                "image": train.native_images[i],
+                "label": train.native_labels[i],
+            })
+            imgs.append(out["image"])
+            labs.append(out["label"])
+        yield {"image": np.stack(imgs), "label": np.stack(labs)}
 
 
 def stage_dataset(cfg: TrainConfig, train: AcdcSliceDataset):
@@ -102,11 +128,12 @@ def stage_dataset(cfg: TrainConfig, train: AcdcSliceDataset):
     }
 
 
-def prep_batch(rng, batch, staged=None):
+def prep_batch(rng, batch, staged=None, augment: bool = True):
     """On-device augmentation + NHWC expansion. Returns (x, labels).
 
-    batch is either {'image','label'} host arrays or {'index'} with the
-    dataset staged in device memory.
+    batch is either {'image','label'} host arrays (possibly already
+    host-augmented, augment=False) or {'index'} with the dataset staged in
+    device memory.
     """
     if staged is not None and "index" in batch:
         idx = batch["index"]
@@ -114,8 +141,9 @@ def prep_batch(rng, batch, staged=None):
         labels = jnp.take(staged["labels"], idx, axis=0).astype(jnp.int32)
     else:
         images, labels = batch["image"], batch["label"]
-    imgs, labs = augment_batch(rng, images, labels)
-    return imgs[..., None], labs
+    if augment:
+        images, labels = augment_batch(rng, images, labels)
+    return images[..., None], labels
 
 
 def forward_train(state, x, rngs):

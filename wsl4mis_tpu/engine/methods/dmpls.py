@@ -36,7 +36,9 @@ def make_step(cfg: TrainConfig, staged=None):
 
     def step_fn(state, batch, rng):
         rngs = split_rngs(rng)
-        x, labels = prep_batch(rngs["aug"], batch, staged)
+        x, labels = prep_batch(
+            rngs["aug"], batch, staged, augment=cfg.aug_mode != "host"
+        )
         beta = jax.random.uniform(rngs["method"]) + 1e-10
 
         def loss_fn(params):

@@ -28,7 +28,9 @@ def make_step(cfg: TrainConfig, staged=None):
 
     def step_fn(state, batch, rng):
         rngs = split_rngs(rng)
-        x, labels = prep_batch(rngs["aug"], batch, staged)
+        x, labels = prep_batch(
+            rngs["aug"], batch, staged, augment=cfg.aug_mode != "host"
+        )
 
         def loss_fn(params):
             outputs, new_bs = forward_train(
