@@ -58,12 +58,12 @@ def main():
     rng = jax.random.key(0)
     for i in range(WARMUP):
         state, metrics = step(state, batches[i % len(batches)], rng)
-    jax.block_until_ready(metrics["total_loss"])
+    jax.block_until_ready(state.params)
 
     t0 = time.perf_counter()
     for i in range(STEPS):
         state, metrics = step(state, batches[i % len(batches)], rng)
-    jax.block_until_ready(metrics["total_loss"])
+    jax.block_until_ready(state.params)  # fence the full update chain
     dt = time.perf_counter() - t0
 
     slices_per_sec = STEPS * BATCH_SIZE / dt

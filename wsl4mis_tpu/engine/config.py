@@ -55,6 +55,7 @@ class TrainConfig:
     aug_mode: str = "device"            # "device" (in-step, default) or
                                         # "host" (exact reference semantics:
                                         # aug at native res, then zoom)
+    debug_nans: bool = False            # jax_debug_nans (SURVEY §5.2)
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

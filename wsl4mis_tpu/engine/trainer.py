@@ -47,6 +47,8 @@ class Trainer:
         setup_run_logging(self.snapshot_path)
         self._snapshot_code()
 
+        if cfg.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         self.mesh = make_mesh(cfg.num_devices)
         self.multi_device = self.mesh.devices.size > 1
         if cfg.batch_size % self.mesh.devices.size != 0:
