@@ -57,12 +57,12 @@ def main():
     state = bundle.state
     rng = jax.random.key(0)
     for i in range(WARMUP):
-        state, metrics = step(state, batches[i % len(batches)], rng)
+        state, metrics = step(state, batches[i % len(batches)], rng, bundle.aux)
     jax.block_until_ready(state.params)
 
     t0 = time.perf_counter()
     for i in range(STEPS):
-        state, metrics = step(state, batches[i % len(batches)], rng)
+        state, metrics = step(state, batches[i % len(batches)], rng, bundle.aux)
     jax.block_until_ready(state.params)  # fence the full update chain
     dt = time.perf_counter() - t0
 

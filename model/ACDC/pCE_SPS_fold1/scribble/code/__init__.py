@@ -18,3 +18,24 @@ Design stance (vs. the reference's 15 standalone PyTorch scripts):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy convenience exports (avoid importing jax at package import)."""
+    if name == "TrainConfig":
+        from .engine.config import TrainConfig
+
+        return TrainConfig
+    if name == "Trainer":
+        from .engine.trainer import Trainer
+
+        return Trainer
+    if name == "get_method":
+        from .engine.methods import get_method
+
+        return get_method
+    if name == "net_factory":
+        from .models import net_factory
+
+        return net_factory
+    raise AttributeError(name)

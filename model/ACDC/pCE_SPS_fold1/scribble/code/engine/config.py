@@ -50,6 +50,12 @@ class TrainConfig:
     resume: bool = False
     profile_steps: int = 0              # >0: capture a jax profiler trace
     data_limit: int | None = None       # cap dataset size (tests/smoke)
+    device_data: bool = True            # stage the dataset in HBM; batches
+                                        # become on-device index gathers
+    aug_mode: str = "device"            # "device" (in-step, default) or
+                                        # "host" (exact reference semantics:
+                                        # aug at native res, then zoom)
+    debug_nans: bool = False            # jax_debug_nans (SURVEY §5.2)
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

@@ -34,6 +34,10 @@ class MethodBundle:
     host_hook: Callable | None = None   # (bundle, state, iter_num) -> state
     predictor: Any | None = None        # VolumePredictor override
     val_variables: Callable | None = None  # (state) -> variables dict
+    aux: Any = None                     # extra device buffers passed to the
+                                        # step as arguments (e.g. the staged
+                                        # dataset) — never baked as jit
+                                        # constants (huge compile payloads)
 
 
 def compute_dtype(cfg: TrainConfig):
@@ -59,28 +63,91 @@ def make_model_and_state(cfg: TrainConfig, *, model_name=None, extra=None,
 
 
 def standard_data(cfg: TrainConfig, **ds_kwargs):
-    """Single-stream scribble/label dataset + fold val volumes."""
+    """Single-stream scribble/label dataset + fold val volumes.
+
+    With cfg.device_data (default), the pre-zoomed slice stack is staged
+    once into device memory (ACDC: ~0.4 GB f32 + uint8 labels, far under
+    one chip's HBM) and the host loop only ships a (B,) int index vector
+    per step — the gather + augmentation run on device inside the jitted
+    step, eliminating the per-step H2D image copy entirely.
+    """
+    host_aug = cfg.aug_mode == "host"
     train = AcdcSliceDataset(
         base_dir=cfg.root_path,
         fold=cfg.fold,
         sup_type=cfg.sup_type,
         patch_size=cfg.patch_size,
         limit=cfg.data_limit,
+        keep_native=host_aug,
         **ds_kwargs,
     )
     val = AcdcVolumeDataset(
         base_dir=cfg.root_path, fold=cfg.fold,
         limit=(4 if cfg.data_limit else None),
     )
-    it = batch_iterator(train, cfg.batch_size, seed=cfg.seed)
+    if host_aug:
+        it = _host_augmented_iterator(cfg, train)
+    elif cfg.device_data:
+        it = batch_iterator(
+            train, cfg.batch_size, seed=cfg.seed, include_index=True,
+        )
+        it = ({"index": b["index"].astype("int32")} for b in it)
+    else:
+        it = batch_iterator(train, cfg.batch_size, seed=cfg.seed)
     steps_per_epoch = len(train) // cfg.batch_size
     return train, val, it, steps_per_epoch
 
 
-def prep_batch(rng, batch):
-    """On-device augmentation + NHWC expansion. Returns (x, labels)."""
-    imgs, labs = augment_batch(rng, batch["image"], batch["label"])
-    return imgs[..., None], labs
+def _host_augmented_iterator(cfg: TrainConfig, train: AcdcSliceDataset):
+    """Exact reference augmentation path (aug at native res, then order-0
+    zoom; dataset.py:147-166 semantics) on the host."""
+    import numpy as np
+
+    from ...data.augment import HostRandomGenerator
+
+    gen = HostRandomGenerator(cfg.patch_size, seed=cfg.seed)
+    it = batch_iterator(train, cfg.batch_size, seed=cfg.seed,
+                        include_index=True)
+    for b in it:
+        imgs, labs = [], []
+        for i in b["index"]:
+            out = gen({
+                "image": train.native_images[i],
+                "label": train.native_labels[i],
+            })
+            imgs.append(out["image"])
+            labs.append(out["label"])
+        yield {"image": np.stack(imgs), "label": np.stack(labs)}
+
+
+def stage_dataset(cfg: TrainConfig, train: AcdcSliceDataset):
+    """Device-resident (images f32, labels uint8) arrays, or None."""
+    if not cfg.device_data:
+        return None
+    import numpy as np
+
+    return {
+        "images": jax.device_put(train.images),
+        "labels": jax.device_put(train.labels.astype(np.uint8)),
+    }
+
+
+def prep_batch(rng, batch, staged=None, augment: bool = True):
+    """On-device augmentation + NHWC expansion. Returns (x, labels).
+
+    batch is either {'image','label'} host arrays (possibly already
+    host-augmented, augment=False) or {'index'} with the dataset staged in
+    device memory.
+    """
+    if staged is not None and "index" in batch:
+        idx = batch["index"]
+        images = jnp.take(staged["images"], idx, axis=0)
+        labels = jnp.take(staged["labels"], idx, axis=0).astype(jnp.int32)
+    else:
+        images, labels = batch["image"], batch["label"]
+    if augment:
+        images, labels = augment_batch(rng, images, labels)
+    return images[..., None], labels
 
 
 def forward_train(state, x, rngs):

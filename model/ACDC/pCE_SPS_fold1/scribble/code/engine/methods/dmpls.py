@@ -22,6 +22,7 @@ from ...ops import losses
 from ..config import TrainConfig
 from .common import (
     MethodBundle,
+    stage_dataset,
     forward_train,
     make_model_and_state,
     prep_batch,
@@ -33,9 +34,11 @@ from .common import (
 def make_step(cfg: TrainConfig):
     num_classes = cfg.num_classes
 
-    def step_fn(state, batch, rng):
+    def step_fn(state, batch, rng, aux=None):
         rngs = split_rngs(rng)
-        x, labels = prep_batch(rngs["aug"], batch)
+        x, labels = prep_batch(
+            rngs["aug"], batch, aux, augment=cfg.aug_mode != "host"
+        )
         beta = jax.random.uniform(rngs["method"]) + 1e-10
 
         def loss_fn(params):
@@ -74,11 +77,12 @@ def make_step(cfg: TrainConfig):
 
 def build(cfg: TrainConfig) -> MethodBundle:
     model, state = make_model_and_state(cfg, model_name="unet_cct")
-    _, val, it, spe = standard_data(cfg)
+    train, val, it, spe = standard_data(cfg)
     return MethodBundle(
         model=model,
         state=state,
         step_fn=make_step(cfg),
+        aux=stage_dataset(cfg, train),
         data_iter=it,
         val_volumes=val,
         steps_per_epoch=spe,

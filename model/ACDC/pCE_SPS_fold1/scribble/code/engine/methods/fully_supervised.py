@@ -13,6 +13,7 @@ import jax
 from ..config import TrainConfig
 from .common import (
     MethodBundle,
+    stage_dataset,
     forward_train,
     make_model_and_state,
     prep_batch,
@@ -25,9 +26,11 @@ from .common import (
 def make_step(cfg: TrainConfig):
     num_classes = cfg.num_classes
 
-    def step_fn(state, batch, rng):
+    def step_fn(state, batch, rng, aux=None):
         rngs = split_rngs(rng)
-        x, labels = prep_batch(rngs["aug"], batch)
+        x, labels = prep_batch(
+            rngs["aug"], batch, aux, augment=cfg.aug_mode != "host"
+        )
 
         def loss_fn(params):
             outputs, new_bs = forward_train(
@@ -52,11 +55,12 @@ def make_step(cfg: TrainConfig):
 
 def build(cfg: TrainConfig) -> MethodBundle:
     model, state = make_model_and_state(cfg)
-    _, val, it, spe = standard_data(cfg)
+    train, val, it, spe = standard_data(cfg)
     return MethodBundle(
         model=model,
         state=state,
         step_fn=make_step(cfg),
+        aux=stage_dataset(cfg, train),
         data_iter=it,
         val_volumes=val,
         steps_per_epoch=spe,

@@ -65,7 +65,7 @@ def make_step(cfg: TrainConfig):
     num_classes = cfg.num_classes
     labeled_bs = cfg.batch_size // 2
 
-    def step_fn(state, batch, rng):
+    def step_fn(state, batch, rng, aux=None):
         rngs = split_rngs(
             rng, ("aug", "dropout", "dropout2", "feature_perturb", "noise", "mc")
         )

@@ -12,6 +12,7 @@ from ...ops import losses
 from ..config import TrainConfig
 from .common import (
     MethodBundle,
+    stage_dataset,
     forward_train,
     make_model_and_state,
     prep_batch,
@@ -21,9 +22,11 @@ from .common import (
 
 
 def make_step(cfg: TrainConfig):
-    def step_fn(state, batch, rng):
+    def step_fn(state, batch, rng, aux=None):
         rngs = split_rngs(rng)
-        x, labels = prep_batch(rngs["aug"], batch)
+        x, labels = prep_batch(
+            rngs["aug"], batch, aux, augment=cfg.aug_mode != "host"
+        )
 
         def loss_fn(params):
             outputs, new_bs = forward_train(
@@ -45,11 +48,12 @@ def make_step(cfg: TrainConfig):
 
 def build(cfg: TrainConfig) -> MethodBundle:
     model, state = make_model_and_state(cfg)
-    _, val, it, spe = standard_data(cfg)
+    train, val, it, spe = standard_data(cfg)
     return MethodBundle(
         model=model,
         state=state,
         step_fn=make_step(cfg),
+        aux=stage_dataset(cfg, train),
         data_iter=it,
         val_volumes=val,
         steps_per_epoch=spe,

@@ -32,6 +32,7 @@ from ...ops.gated_crf import select_gated_crf
 from ..config import TrainConfig
 from .common import (
     MethodBundle,
+    stage_dataset,
     forward_train,
     make_model_and_state,
     prep_batch,
@@ -65,9 +66,11 @@ def make_step(cfg: TrainConfig):
     num_classes = cfg.num_classes
     gated_crf_loss = select_gated_crf()
 
-    def step_fn(state, batch, rng):
+    def step_fn(state, batch, rng, aux=None):
         rngs = split_rngs(rng)
-        x, labels = prep_batch(rngs["aug"], batch)
+        x, labels = prep_batch(
+            rngs["aug"], batch, aux, augment=cfg.aug_mode != "host"
+        )
 
         def loss_fn(params):
             outputs, new_bs = forward_train(
@@ -112,11 +115,12 @@ def make_step(cfg: TrainConfig):
 
 def build(cfg: TrainConfig) -> MethodBundle:
     model, state = make_model_and_state(cfg)
-    _, val, it, spe = standard_data(cfg)
+    train, val, it, spe = standard_data(cfg)
     return MethodBundle(
         model=model,
         state=state,
         step_fn=make_step(cfg),
+        aux=stage_dataset(cfg, train),
         data_iter=it,
         val_volumes=val,
         steps_per_epoch=spe,

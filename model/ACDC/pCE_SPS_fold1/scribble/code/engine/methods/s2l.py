@@ -37,7 +37,7 @@ def make_step(cfg: TrainConfig):
     thr_conf = cfg.thr_conf
     thr_iter = cfg.thr_iter
 
-    def step_fn(state, batch, rng):
+    def step_fn(state, batch, rng, aux=None):
         rngs = split_rngs(rng)
         weight_batch = state.extra["weight"][batch["index"]]
         imgs, scribbles, weights = augment_batch_s2l(
@@ -76,31 +76,35 @@ def make_step(cfg: TrainConfig):
 
 
 def make_refresh(cfg: TrainConfig, images: np.ndarray, refresh_bs: int = 32):
-    """Jitted full-dataset EMA sweep (train_s2l.py:214-250 equivalent)."""
+    """Jitted full-dataset EMA sweep (train_s2l.py:214-250 equivalent).
+
+    The image stack is staged once and passed as a jit *argument* (baking
+    it as a closure constant bloats the compile payload past the remote
+    compiler's limits).
+    """
     n = images.shape[0]
     pad = (-n) % refresh_bs
     padded = np.concatenate(
         [images, np.zeros((pad, *images.shape[1:]), images.dtype)], axis=0
     )
     num_batches = padded.shape[0] // refresh_bs
+    xs_staged = jax.device_put(
+        padded.reshape(num_batches, refresh_bs, *images.shape[1:], 1)
+    )
     alpha = cfg.alpha
 
     @jax.jit
-    def refresh(state):
-        xs = jnp.asarray(padded).reshape(
-            num_batches, refresh_bs, *images.shape[1:], 1
-        )
-
-        def body(weight, x):
+    def refresh_impl(state, xs):
+        def body(_, x):
             out = state.apply_fn(state.variables, x, train=False)
-            return weight, jax.nn.softmax(out, axis=-1)
+            return None, jax.nn.softmax(out, axis=-1)
 
         _, preds = jax.lax.scan(body, None, xs)
         preds = preds.reshape(-1, *preds.shape[2:])[:n]
         new_weight = alpha * preds + (1 - alpha) * state.extra["weight"]
         return state.replace(extra={"weight": new_weight})
 
-    return refresh
+    return lambda state: refresh_impl(state, xs_staged)
 
 
 def build(cfg: TrainConfig) -> MethodBundle:

@@ -57,7 +57,7 @@ def make_step(cfg: TrainConfig, model: ScribbleVC, steps_per_epoch: int):
     ignore = 0 if cfg.sup_type == "label" else 4
     gated_crf_loss = select_gated_crf()
 
-    def step_fn(state, batch, rng):
+    def step_fn(state, batch, rng, aux=None):
         rngs = split_rngs(rng)
         x, labels = prep_batch(rngs["aug"], batch)
         category = batch["category"]

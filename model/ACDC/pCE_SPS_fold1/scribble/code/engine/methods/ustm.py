@@ -24,6 +24,7 @@ from .common import (
     prep_batch,
     sigmoid_rampup_jnp,
     split_rngs,
+    stage_dataset,
     standard_data,
 )
 from .mean_teacher import clamped_noise, teacher_forward
@@ -51,11 +52,13 @@ def make_step(cfg: TrainConfig):
     num_classes = cfg.num_classes
     T = 8
 
-    def step_fn(state, batch, rng):
+    def step_fn(state, batch, rng, aux=None):
         rngs = split_rngs(
             rng, ("aug", "dropout", "feature_perturb", "rot", "noise", "mc")
         )
-        x, labels = prep_batch(rngs["aug"], batch)
+        x, labels = prep_batch(
+            rngs["aug"], batch, aux, augment=cfg.aug_mode != "host"
+        )
         rot_times = jax.random.randint(rngs["rot"], (), 0, 4)
         x_rot = _rot90_batch(x, rot_times)
         ema_params = state.extra["ema_params"]
@@ -126,11 +129,12 @@ def build(cfg: TrainConfig) -> MethodBundle:
     state = state.replace(
         extra={"ema_params": jax.tree.map(jnp.copy, state.params)}
     )
-    _, val, it, spe = standard_data(cfg)
+    train, val, it, spe = standard_data(cfg)
     return MethodBundle(
         model=model,
         state=state,
         step_fn=make_step(cfg),
+        aux=stage_dataset(cfg, train),
         data_iter=it,
         val_volumes=val,
         steps_per_epoch=spe,

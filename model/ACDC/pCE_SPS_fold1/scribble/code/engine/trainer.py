@@ -47,6 +47,8 @@ class Trainer:
         setup_run_logging(self.snapshot_path)
         self._snapshot_code()
 
+        if cfg.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         self.mesh = make_mesh(cfg.num_devices)
         self.multi_device = self.mesh.devices.size > 1
         if cfg.batch_size % self.mesh.devices.size != 0:
@@ -145,7 +147,9 @@ class Trainer:
             if cfg.profile_steps and iter_num == 10:
                 jax.profiler.start_trace(profile_dir)
             rng = jax.random.fold_in(self.base_rng, iter_num)
-            self.state, metrics = self.step_fn(self.state, batch, rng)
+            self.state, metrics = self.step_fn(
+                self.state, batch, rng, self.bundle.aux
+            )
             iter_num += 1
             if cfg.profile_steps and iter_num == 10 + cfg.profile_steps:
                 jax.tree.map(

@@ -83,7 +83,8 @@ class FC3DDiscriminator(nn.Module):
         x = chan_drop(nn.leaky_relu(x, negative_slope=0.2).astype(self.dtype))
         x = conv(x, self.ndf * 8)
         x = nn.leaky_relu(x, negative_slope=0.2).astype(self.dtype)
-        x = nn.avg_pool(x, (6, 6, 6), strides=(6, 6, 6))
+        k = min(6, x.shape[1])  # 6^3 pool at the reference 96^3 input
+        x = nn.avg_pool(x, (k, k, k), strides=(k, k, k))
         x = x.reshape(x.shape[0], -1)
         bound = 1.0 / x.shape[-1] ** 0.5
         return nn.Dense(
@@ -110,7 +111,8 @@ class FCDiscriminator(nn.Module):
                 x = channel_dropout(self.make_rng("feature_perturb"), x, 0.5)
         x = _Conv4x4s2(self.ndf * 8, self.dtype)(x)
         x = nn.leaky_relu(x, negative_slope=0.2).astype(self.dtype)
-        x = nn.avg_pool(x, (7, 7), strides=(7, 7))
+        k = min(7, x.shape[1])  # 7x7 pool at the reference 256^2 input
+        x = nn.avg_pool(x, (k, k), strides=(k, k))
         x = x.reshape(x.shape[0], -1)
         fan_in = x.shape[-1]
         bound = 1.0 / fan_in ** 0.5

@@ -38,7 +38,7 @@ def test_full_resume_roundtrip(tmp_path):
     state = bundle.state
     step = jax.jit(bundle.step_fn)
     batch = next(bundle.data_iter)
-    state, _ = step(state, batch, jax.random.key(0))
+    state, _ = step(state, batch, jax.random.key(0), bundle.aux)
     path = os.path.join(tmp_path, "latest_full.ckpt")
     save_train_state(path, state)
 
@@ -52,6 +52,6 @@ def test_full_resume_roundtrip(tmp_path):
 
     # training continues identically from a restored state
     batch2 = next(bundle.data_iter)
-    s1, m1 = step(state, batch2, jax.random.key(1))
-    s2, m2 = jax.jit(bundle2.step_fn)(restored, batch2, jax.random.key(1))
+    s1, m1 = step(state, batch2, jax.random.key(1), bundle.aux)
+    s2, m2 = jax.jit(bundle2.step_fn)(restored, batch2, jax.random.key(1), bundle2.aux)
     assert abs(float(m1["total_loss"]) - float(m2["total_loss"])) < 1e-6

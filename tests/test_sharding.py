@@ -35,13 +35,14 @@ def test_data_parallel_step_matches_single_device():
     batch = next(bundle.data_iter)
     rng = jax.random.key(0)
 
-    state1, m1 = jax.jit(bundle.step_fn)(bundle.state, batch, rng)
+    state1, m1 = jax.jit(bundle.step_fn)(bundle.state, batch, rng, bundle.aux)
 
     mesh = make_mesh()
     bundle2 = get_method("fully_supervised").build(cfg)
     state_r = replicate_tree(mesh, bundle2.state)
     sharded = shard_batch(mesh, batch)
-    state2, m2 = jax.jit(bundle2.step_fn)(state_r, sharded, rng)
+    aux_r = jax.device_put(bundle2.aux) if bundle2.aux is not None else None
+    state2, m2 = jax.jit(bundle2.step_fn)(state_r, sharded, rng, aux_r)
 
     assert abs(float(m1["total_loss"]) - float(m2["total_loss"])) < 1e-5
     p1 = jax.tree.leaves(jax.tree.map(np.asarray, state1.params))

@@ -51,7 +51,7 @@ def _run_steps(method, n=2):
     losses = []
     for i in range(n):
         batch = next(bundle.data_iter)
-        state, metrics = step(state, batch, jax.random.key(i))
+        state, metrics = step(state, batch, jax.random.key(i), bundle.aux)
         losses.append(float(metrics["total_loss"]))
     return state, losses
 

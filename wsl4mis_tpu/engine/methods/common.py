@@ -34,6 +34,10 @@ class MethodBundle:
     host_hook: Callable | None = None   # (bundle, state, iter_num) -> state
     predictor: Any | None = None        # VolumePredictor override
     val_variables: Callable | None = None  # (state) -> variables dict
+    aux: Any = None                     # extra device buffers passed to the
+                                        # step as arguments (e.g. the staged
+                                        # dataset) — never baked as jit
+                                        # constants (huge compile payloads)
 
 
 def compute_dtype(cfg: TrainConfig):

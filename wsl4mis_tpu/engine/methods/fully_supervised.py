@@ -23,13 +23,13 @@ from .common import (
 )
 
 
-def make_step(cfg: TrainConfig, staged=None):
+def make_step(cfg: TrainConfig):
     num_classes = cfg.num_classes
 
-    def step_fn(state, batch, rng):
+    def step_fn(state, batch, rng, aux=None):
         rngs = split_rngs(rng)
         x, labels = prep_batch(
-            rngs["aug"], batch, staged, augment=cfg.aug_mode != "host"
+            rngs["aug"], batch, aux, augment=cfg.aug_mode != "host"
         )
 
         def loss_fn(params):
@@ -59,7 +59,8 @@ def build(cfg: TrainConfig) -> MethodBundle:
     return MethodBundle(
         model=model,
         state=state,
-        step_fn=make_step(cfg, stage_dataset(cfg, train)),
+        step_fn=make_step(cfg),
+        aux=stage_dataset(cfg, train),
         data_iter=it,
         val_volumes=val,
         steps_per_epoch=spe,

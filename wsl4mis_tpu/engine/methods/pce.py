@@ -21,11 +21,11 @@ from .common import (
 )
 
 
-def make_step(cfg: TrainConfig, staged=None):
-    def step_fn(state, batch, rng):
+def make_step(cfg: TrainConfig):
+    def step_fn(state, batch, rng, aux=None):
         rngs = split_rngs(rng)
         x, labels = prep_batch(
-            rngs["aug"], batch, staged, augment=cfg.aug_mode != "host"
+            rngs["aug"], batch, aux, augment=cfg.aug_mode != "host"
         )
 
         def loss_fn(params):
@@ -52,7 +52,8 @@ def build(cfg: TrainConfig) -> MethodBundle:
     return MethodBundle(
         model=model,
         state=state,
-        step_fn=make_step(cfg, stage_dataset(cfg, train)),
+        step_fn=make_step(cfg),
+        aux=stage_dataset(cfg, train),
         data_iter=it,
         val_volumes=val,
         steps_per_epoch=spe,

@@ -48,16 +48,16 @@ def _rot90_batch(x, k):
     )
 
 
-def make_step(cfg: TrainConfig, staged=None):
+def make_step(cfg: TrainConfig):
     num_classes = cfg.num_classes
     T = 8
 
-    def step_fn(state, batch, rng):
+    def step_fn(state, batch, rng, aux=None):
         rngs = split_rngs(
             rng, ("aug", "dropout", "feature_perturb", "rot", "noise", "mc")
         )
         x, labels = prep_batch(
-            rngs["aug"], batch, staged, augment=cfg.aug_mode != "host"
+            rngs["aug"], batch, aux, augment=cfg.aug_mode != "host"
         )
         rot_times = jax.random.randint(rngs["rot"], (), 0, 4)
         x_rot = _rot90_batch(x, rot_times)
@@ -133,7 +133,8 @@ def build(cfg: TrainConfig) -> MethodBundle:
     return MethodBundle(
         model=model,
         state=state,
-        step_fn=make_step(cfg, stage_dataset(cfg, train)),
+        step_fn=make_step(cfg),
+        aux=stage_dataset(cfg, train),
         data_iter=it,
         val_volumes=val,
         steps_per_epoch=spe,
