@@ -56,6 +56,10 @@ class TrainConfig:
                                         # "host" (exact reference semantics:
                                         # aug at native res, then zoom)
     debug_nans: bool = False            # jax_debug_nans (SURVEY §5.2)
+    steps_per_call: int = 1             # lax.scan K train steps inside one
+                                        # device call (amortizes dispatch
+                                        # latency; val/ckpt/log cadences are
+                                        # rounded to multiples of K)
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

@@ -60,8 +60,37 @@ class Trainer:
         self.state = bundle.state
         if self.multi_device:
             self.state = replicate_tree(self.mesh, self.state)
-        self.step_fn = jax.jit(bundle.step_fn, donate_argnums=0)
-        self.data_iter = prefetch(bundle.data_iter, size=4)
+
+        # K-step fusion: scan K train steps inside one device call so the
+        # per-dispatch latency (severe over a tunneled chip, nonzero
+        # anywhere) amortizes across K updates.
+        self.multi = max(1, cfg.steps_per_call)
+        if self.multi > 1:
+            inner = bundle.step_fn
+            k = self.multi
+
+            def multi_step(state, stacked, rng, aux):
+                keys = jax.random.split(rng, k)
+
+                def body(st, xs):
+                    key, one = xs
+                    st, m = inner(st, one, key, aux)
+                    return st, m
+
+                state, ms = jax.lax.scan(body, state, (keys, stacked))
+                return state, jax.tree.map(lambda x: x[-1], ms)
+
+            self.step_fn = jax.jit(multi_step, donate_argnums=0)
+        else:
+            self.step_fn = jax.jit(bundle.step_fn, donate_argnums=0)
+
+        def _round(v):
+            return max(self.multi, (v // self.multi) * self.multi)
+
+        self.val_every = _round(cfg.val_every)
+        self.ckpt_every = _round(cfg.ckpt_every)
+        self.log_every = _round(cfg.log_every)
+        self.data_iter = prefetch(bundle.data_iter, size=4 * self.multi)
         self.predictor = bundle.predictor or VolumePredictor(
             bundle.model, cfg.patch_size
         )
@@ -141,16 +170,22 @@ class Trainer:
         metrics = {}
 
         while iter_num < cfg.max_iterations:
-            batch = next(self.data_iter)
-            if self.multi_device:
-                batch = shard_batch(self.mesh, batch)
+            if self.multi > 1:
+                parts = [next(self.data_iter) for _ in range(self.multi)]
+                batch = jax.tree.map(lambda *xs: np.stack(xs), *parts)
+                if self.multi_device:
+                    batch = shard_batch(self.mesh, batch, batch_axis=1)
+            else:
+                batch = next(self.data_iter)
+                if self.multi_device:
+                    batch = shard_batch(self.mesh, batch)
             if cfg.profile_steps and iter_num == 10:
                 jax.profiler.start_trace(profile_dir)
             rng = jax.random.fold_in(self.base_rng, iter_num)
             self.state, metrics = self.step_fn(
                 self.state, batch, rng, self.bundle.aux
             )
-            iter_num += 1
+            iter_num += self.multi
             if cfg.profile_steps and iter_num == 10 + cfg.profile_steps:
                 jax.tree.map(
                     lambda x: x.block_until_ready(), self.state.params
@@ -158,7 +193,7 @@ class Trainer:
                 jax.profiler.stop_trace()
                 logging.info("profiler trace written to %s", profile_dir)
 
-            if iter_num % cfg.log_every == 0:
+            if iter_num % self.log_every == 0:
                 host_metrics = {k: float(v) for k, v in metrics.items()}
                 lr = self._lr(iter_num)
                 self._scalar("info/lr", lr, iter_num)
@@ -168,10 +203,10 @@ class Trainer:
                     "iteration %d : %s : %.1f ms/it",
                     iter_num,
                     " ".join(f"{k}: {v:f}" for k, v in host_metrics.items()),
-                    1e3 * timer.tick() / cfg.log_every,
+                    1e3 * timer.tick() / self.log_every,
                 )
 
-            if iter_num > 0 and iter_num % cfg.val_every == 0:
+            if iter_num > 0 and iter_num % self.val_every == 0:
                 performance, mean_hd95 = self.validate(iter_num)
                 if performance > best_performance:
                     best_performance = performance
@@ -193,7 +228,7 @@ class Trainer:
                     iter_num, performance, mean_hd95,
                 )
 
-            if iter_num % cfg.ckpt_every == 0:
+            if iter_num % self.ckpt_every == 0:
                 save_model_checkpoint(
                     os.path.join(self.snapshot_path, f"iter_{iter_num}.pth"),
                     self.state,

@@ -31,28 +31,31 @@ def make_mesh(num_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P(DATA_AXIS))
+def batch_sharding(mesh: Mesh, batch_axis: int = 0) -> NamedSharding:
+    spec = [None] * batch_axis + [DATA_AXIS]
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Place a host batch dict onto the mesh, sharded along axis 0.
+def shard_batch(mesh: Mesh, batch: dict, batch_axis: int = 0) -> dict:
+    """Place a host batch dict onto the mesh, sharded along `batch_axis`
+    (axis 0 normally; axis 1 for K-step-stacked batches).
 
-    Every array must have a leading dim divisible by the mesh size; scalar
-    entries (e.g. labeled_bs) are passed through untouched.
+    The batch dim must divide by the mesh size; scalar entries are passed
+    through untouched.
     """
-    sharding = batch_sharding(mesh)
+    sharding = batch_sharding(mesh, batch_axis)
     n = mesh.devices.size
 
     def put(x):
-        if hasattr(x, "ndim") and getattr(x, "ndim", 0) >= 1:
-            if x.shape[0] % n != 0:
+        if hasattr(x, "ndim") and getattr(x, "ndim", 0) > batch_axis:
+            if x.shape[batch_axis] % n != 0:
                 raise ValueError(
-                    f"batch dim {x.shape[0]} not divisible by mesh size {n}"
+                    f"batch dim {x.shape[batch_axis]} not divisible by "
+                    f"mesh size {n}"
                 )
             return jax.device_put(x, sharding)
         return x
