@@ -48,6 +48,8 @@ def build_parser(defaults: dict) -> argparse.ArgumentParser:
     add("--val_every", type=int, default=200)
     add("--ckpt_every", type=int, default=3000)
     add("--log_every", type=int, default=1)
+    add("--steps_per_call", type=int, default=1,
+        help="fuse K train steps per device call (lax.scan)")
     add("--compute_dtype", type=str, default="bfloat16",
         choices=["bfloat16", "float32"])
     add("--snapshot_root", type=str, default="model")
@@ -91,6 +93,7 @@ def config_from_args(args, method: str) -> TrainConfig:
         val_every=args.val_every,
         ckpt_every=args.ckpt_every,
         log_every=args.log_every,
+        steps_per_call=args.steps_per_call,
         compute_dtype=args.compute_dtype,
         snapshot_root=args.snapshot_root,
         num_devices=args.num_devices,
