@@ -1,0 +1,201 @@
+"""ScribbleVC training driver (ACDC and MSCMR).
+
+Rebuilds /root/reference/code/train_ACDC_scribblevc.py:120-320:
+  * AdamW(lr 5e-4, wd 5e-4, eps 1e-8), constant LR (no decay by default);
+  * per step: dual-head pCE (ignore 4) + 0.1 * confidence-gated mixed
+    pseudo-label partial Dice (pixels where min(p1,p2) > 0.5 keep their
+    beta-mixed argmax, else background) + 0.1 * GatedCRF on the beta-mixed
+    ensemble + 0.1 * BCE multi-label class-presence loss averaged over the
+    two classification heads;
+  * the class-representation memory activates after epoch 4 (ep > 4,
+    scribbleVC_ACDC.py:670) — implemented as a lax.cond over the two
+    static model variants so the jitted step covers both phases;
+  * validation uses the CAM decision rule: argmax of
+    (min(p1,p2) > 0.5) * (p1 + p2)/2 (val_2D_scribblevc.py:84-86).
+
+The reference's per-slice class-presence table (slice_classification.xlsx,
+not bundled) is derived from the dense labels: category[c] = class c+1
+present in the slice (SURVEY §0.8).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ...data import AcdcSliceDataset, AcdcVolumeDataset, batch_iterator
+from ...eval.val2d import VolumePredictor
+from ...models.scribblevc import ScribbleVC
+from ...ops import losses
+from ...ops.gated_crf import select_gated_crf
+from ..config import TrainConfig
+from ..state import TrainState
+from .common import MethodBundle, compute_dtype, prep_batch, split_rngs
+
+
+def cam_decision(outputs):
+    """argmax((min(p1,p2) > 0.5) * 0.5*(p1+p2)) (val_2D_scribblevc.py:84-86)."""
+    p1 = jax.nn.softmax(outputs[0], axis=-1)
+    p2 = jax.nn.softmax(outputs[1], axis=-1)
+    gated = (jnp.minimum(p1, p2) > 0.5) * (0.5 * (p1 + p2))
+    return jnp.argmax(gated, axis=-1)
+
+
+def slice_categories(dense_labels: np.ndarray, num_classes: int) -> np.ndarray:
+    """(N, num_classes-1) bool class-presence table from dense labels."""
+    return np.stack(
+        [(dense_labels == c).any(axis=(1, 2)) for c in range(1, num_classes)],
+        axis=1,
+    ).astype(np.float32)
+
+
+def make_step(cfg: TrainConfig, model: ScribbleVC, steps_per_epoch: int):
+    num_classes = cfg.num_classes
+    w_pse, w_crf, w_cls = 0.1, 0.1, 0.1
+    ignore = 0 if cfg.sup_type == "label" else 4
+    gated_crf_loss = select_gated_crf()
+
+    def step_fn(state, batch, rng, aux=None):
+        rngs = split_rngs(rng)
+        x, labels = prep_batch(rngs["aug"], batch)
+        category = batch["category"]
+        beta = jax.random.uniform(rngs["method"]) + 1e-10
+        ep = state.step // steps_per_epoch
+        use_rep = ep > 4
+
+        def loss_fn(params):
+            variables = {
+                "params": params,
+                "batch_stats": state.batch_stats,
+                "class_memory": state.extra["class_memory"],
+            }
+
+            def run(flag):
+                def apply(_):
+                    out, mut = model.apply(
+                        variables, x, train=True, use_class_rep=flag,
+                        rngs={"dropout": rngs["dropout"]},
+                        mutable=["batch_stats", "class_memory"],
+                    )
+                    return out, (mut["batch_stats"], mut["class_memory"])
+
+                return apply
+
+            (pred1, pred2, (conv_cls, tran_cls)), (new_bs, new_mem) = (
+                jax.lax.cond(use_rep, run(True), run(False), operand=None)
+            )
+            p1 = jax.nn.softmax(pred1, axis=-1)
+            p2 = jax.nn.softmax(pred2, axis=-1)
+            loss_ce = 0.5 * (
+                losses.cross_entropy(pred1, labels, ignore_index=ignore)
+                + losses.cross_entropy(pred2, labels, ignore_index=ignore)
+            )
+            p1d = jax.lax.stop_gradient(p1)
+            p2d = jax.lax.stop_gradient(p2)
+            pseudo = jnp.argmax(
+                (jnp.minimum(p1d, p2d) > 0.5) * (beta * p1d + (1 - beta) * p2d),
+                axis=-1,
+            )
+            loss_pse = 0.5 * (
+                losses.pdice_loss(p1, pseudo, num_classes, ignore)
+                + losses.pdice_loss(p2, pseudo, num_classes, ignore)
+            )
+            ensemble = beta * p1 + (1 - beta) * p2
+            loss_crf = gated_crf_loss(ensemble, x)
+            loss_cls = 0.5 * (
+                jnp.mean(optax.sigmoid_binary_cross_entropy(conv_cls, category))
+                + jnp.mean(optax.sigmoid_binary_cross_entropy(tran_cls, category))
+            )
+            loss = (
+                loss_ce + w_pse * loss_pse + w_crf * loss_crf + w_cls * loss_cls
+            )
+            return loss, (loss_ce, loss_pse, loss_crf, loss_cls, new_bs, new_mem)
+
+        (loss, (l_ce, l_pse, l_crf, l_cls, new_bs, new_mem)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        )
+        state = state.apply_gradients(
+            grads, batch_stats=new_bs, extra={"class_memory": new_mem}
+        )
+        return state, {
+            "total_loss": loss,
+            "loss_ce": l_ce,
+            "loss_pseudo": l_pse,
+            "loss_crf": l_crf,
+            "loss_cls": l_cls,
+        }
+
+    return step_fn
+
+
+def build(cfg: TrainConfig) -> MethodBundle:
+    if cfg.fold == "MSCMRfold":
+        fold = cfg.fold
+        slices_dir, volumes_dir = "MSCMR_training_slices", "MSCMR_training_volumes"
+    else:
+        fold = cfg.fold if cfg.fold.startswith("MAAGfold") else "MAAGfold"
+        slices_dir, volumes_dir = "ACDC_training_slices", "ACDC_training_volumes"
+    train = AcdcSliceDataset(
+        base_dir=cfg.root_path, fold=fold, sup_type=cfg.sup_type,
+        patch_size=cfg.patch_size, limit=cfg.data_limit,
+        slices_dirname=slices_dir,
+    )
+    category = slice_categories(train.dense_labels, cfg.num_classes)
+    val = AcdcVolumeDataset(
+        base_dir=cfg.root_path, fold=fold,
+        limit=(4 if cfg.data_limit else None),
+        volumes_dirname=volumes_dir,
+    )
+    base_iter = batch_iterator(
+        train, cfg.batch_size, seed=cfg.seed, include_index=True
+    )
+
+    def iter_with_category():
+        for b in base_iter:
+            b["category"] = category[b.pop("index")]
+            yield b
+
+    model = ScribbleVC(
+        num_classes=cfg.num_classes, batch_size=cfg.batch_size,
+        dtype=compute_dtype(cfg),
+    )
+    rng = jax.random.key(cfg.seed)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((1, *cfg.patch_size, 1), jnp.float32),
+        train=False,
+    )
+    # AdamW(5e-4, wd 5e-4, eps 1e-8) (train_ACDC_scribblevc.py:146-147)
+    tx = optax.adamw(5e-4, eps=1e-8, weight_decay=5e-4)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=tx,
+        extra={"class_memory": variables["class_memory"]},
+    )
+    steps_per_epoch = max(len(train) // cfg.batch_size, 1)
+    predictor = VolumePredictor(
+        model, cfg.patch_size, decision_fn=cam_decision,
+        apply_kwargs={"use_class_rep": True},
+    )
+
+    def val_variables(state):
+        return {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "class_memory": state.extra["class_memory"],
+        }
+
+    return MethodBundle(
+        model=model,
+        state=state,
+        step_fn=make_step(cfg, model, steps_per_epoch),
+        data_iter=iter_with_category(),
+        val_volumes=val,
+        steps_per_epoch=steps_per_epoch,
+        predictor=predictor,
+        val_variables=val_variables,
+    )

@@ -1,0 +1,131 @@
+"""Volume-wise validation: batched slice inference + 3D per-class metrics.
+
+Reference behavior (/root/reference/code/val_2D.py:18-50): for each slice of
+a volume, order-0 zoom to 256x256, forward, argmax, order-0 zoom back to the
+native resolution; then per-class (dice, hd95) against the dense 3D label.
+
+TPU-first redesign: the reference runs one slice per forward pass with a
+host sync per slice; here all slices of a volume are zoomed on the host in
+one vectorized gather, stacked, padded to a depth bucket (so jit compiles a
+handful of shapes, not one per volume), and run through the network in a
+single device call. Metrics stay on host (scipy EDT).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.acdc import _nearest_zoom2d
+from .metrics import calculate_metric_percase
+
+
+def _zoom_stack(volume: np.ndarray, out_hw) -> np.ndarray:
+    """Order-0 zoom of every slice of (D, H, W) to out_hw via one gather."""
+    d, h, w = volume.shape
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return volume
+    ri = np.clip(
+        np.floor(np.arange(oh) * ((h - 1) / (oh - 1)) + 0.5).astype(np.int64),
+        0,
+        h - 1,
+    )
+    ci = np.clip(
+        np.floor(np.arange(ow) * ((w - 1) / (ow - 1)) + 0.5).astype(np.int64),
+        0,
+        w - 1,
+    )
+    return volume[:, ri[:, None], ci[None, :]]
+
+
+class VolumePredictor:
+    """Jitted whole-volume slice-stack inference.
+
+    Args:
+      model: a linen module whose __call__ returns logits or a tuple whose
+        first element is the main logits (matches test_single_volume_cct,
+        val_2D.py:90-110).
+      patch_size: network input resolution.
+      bucket: depth padding quantum — volumes are padded to the next
+        multiple so jit sees few distinct shapes.
+    """
+
+    def __init__(self, model, patch_size=(256, 256), bucket: int = 8,
+                 decision_fn=None, apply_kwargs=None):
+        """decision_fn(outputs) -> (B, H, W) int class map; defaults to
+        argmax of the first output head. apply_kwargs are forwarded to
+        model.apply (e.g. ScribbleVC's use_class_rep)."""
+        self.model = model
+        self.patch_size = tuple(patch_size)
+        self.bucket = bucket
+        apply_kwargs = apply_kwargs or {}
+
+        def default_decision(out):
+            if isinstance(out, (tuple, list)):
+                out = out[0]
+            return jnp.argmax(out, axis=-1).astype(jnp.int32)
+
+        decide = decision_fn or default_decision
+
+        def fwd(variables, x):
+            out = model.apply(variables, x, train=False, **apply_kwargs)
+            return decide(out).astype(jnp.int32)
+
+        self._fwd = jax.jit(fwd)
+
+    def predict_volume(self, variables, image: np.ndarray) -> np.ndarray:
+        """image: (D, H, W) float32 -> (D, H, W) int32 prediction."""
+        d, h, w = image.shape
+        zoomed = _zoom_stack(image.astype(np.float32), self.patch_size)
+        pad = (-d) % self.bucket
+        if pad:
+            zoomed = np.concatenate(
+                [zoomed, np.zeros((pad, *self.patch_size), np.float32)], axis=0
+            )
+        x = jnp.asarray(zoomed[..., None])  # (D', H, W, 1)
+        pred = np.asarray(jax.device_get(self._fwd(variables, x)))[:d]
+        # zoom back to native resolution (order-0), one gather for the stack
+        if (h, w) != self.patch_size:
+            ri = np.clip(
+                np.floor(
+                    np.arange(h) * ((self.patch_size[0] - 1) / (h - 1)) + 0.5
+                ).astype(np.int64),
+                0,
+                self.patch_size[0] - 1,
+            )
+            ci = np.clip(
+                np.floor(
+                    np.arange(w) * ((self.patch_size[1] - 1) / (w - 1)) + 0.5
+                ).astype(np.int64),
+                0,
+                self.patch_size[1] - 1,
+            )
+            pred = pred[:, ri[:, None], ci[None, :]]
+        return pred.astype(np.int32)
+
+
+def test_single_volume(image, label, predictor, variables, classes: int):
+    """Per-class [dice, hd95] for one volume (val_2D.py:18-50 parity)."""
+    prediction = predictor.predict_volume(variables, np.asarray(image))
+    label = np.asarray(label)
+    return [
+        calculate_metric_percase(prediction == i, label == i)
+        for i in range(1, classes)
+    ]
+
+
+def evaluate_fold(predictor, variables, volumes, classes: int) -> np.ndarray:
+    """Mean (classes-1, 2) [dice, hd95] over a volume dataset.
+
+    Matches the train-loop validation block
+    (train_fully_supervised_2D.py:132-150).
+    """
+    total = np.zeros((classes - 1, 2), np.float64)
+    for vol in volumes:
+        metric_i = test_single_volume(
+            vol["image"], vol["label"], predictor, variables, classes
+        )
+        total += np.asarray(metric_i)
+    return total / len(volumes)

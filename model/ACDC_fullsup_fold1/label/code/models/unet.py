@@ -1,0 +1,301 @@
+"""2D U-Net family (Flax/linen, NHWC, bf16-capable).
+
+Architectural parity with /root/reference/code/networks/unet.py:
+  * ConvBlock = [Conv3x3 -> BN -> LeakyReLU(0.01) -> Dropout(p) ->
+    Conv3x3 -> BN -> LeakyReLU] (unet.py:13-29);
+  * encoder channels [16, 32, 64, 128, 256], dropout
+    [0.05, 0.1, 0.2, 0.3, 0.5], maxpool-2 downsampling (unet.py:71-98,
+    286-295); decoder ConvTranspose(k=2,s=2) upsampling, skip concat,
+    dropout 0, 3x3 output head (unet.py:101-135);
+  * UNet_DS adds per-scale 3x3 heads nearest-resized to the input
+    resolution (unet.py:138-188);
+  * UNet_CCT adds an auxiliary decoder fed channel-dropout'ed encoder
+    features (unet.py:327-346) — the DMPLS dual branch;
+  * UNet_CCT_3H adds a third decoder fed feature-noise'd features
+    (unet.py:349-371). Note: the reference forward reuses aux_decoder1 for
+    aux_seg2 (unet.py:370), which contradicts its own constructor; we
+    implement the evident intent (aux_decoder2).
+
+TPU-first design: channels-last layout, compute dtype configurable
+(default bfloat16 for the MXU; BatchNorm statistics in float32), logits
+always returned in float32. Weight init matches torch's Conv2d default
+(kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)) for weight and bias) so
+training dynamics are comparable.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+DEFAULT_FEATURES = (16, 32, 64, 128, 256)
+DEFAULT_DROPOUT = (0.05, 0.1, 0.2, 0.3, 0.5)
+
+
+def _uniform_bound(bound: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class TorchConv(nn.Module):
+    """3x3/1x1 conv with torch-default initialization (NHWC)."""
+
+    features: int
+    kernel_size: tuple[int, int] = (3, 3)
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        fan_in = in_ch * self.kernel_size[0] * self.kernel_size[1]
+        bound = 1.0 / (fan_in ** 0.5)
+        return nn.Conv(
+            self.features,
+            self.kernel_size,
+            padding="SAME",
+            dtype=self.dtype,
+            kernel_init=_uniform_bound(bound),
+            bias_init=_uniform_bound(bound),
+        )(x)
+
+
+class TorchConvTranspose(nn.Module):
+    """2x2 stride-2 transposed conv with torch-default init (NHWC).
+
+    torch computes fan_in for ConvTranspose2d from weight dim 1
+    (= out_channels * k * k); replicated here.
+    """
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = self.features * 2 * 2
+        bound = 1.0 / (fan_in ** 0.5)
+        return nn.ConvTranspose(
+            self.features,
+            (2, 2),
+            strides=(2, 2),
+            dtype=self.dtype,
+            kernel_init=_uniform_bound(bound),
+            bias_init=_uniform_bound(bound),
+        )(x)
+
+
+class ConvBlock(nn.Module):
+    features: int
+    dropout_p: float
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        x = TorchConv(self.features, dtype=self.dtype)(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32,
+        )(x)
+        x = nn.leaky_relu(x, negative_slope=0.01).astype(self.dtype)
+        if self.dropout_p > 0:
+            x = nn.Dropout(rate=self.dropout_p, deterministic=not train)(x)
+        x = TorchConv(self.features, dtype=self.dtype)(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32,
+        )(x)
+        x = nn.leaky_relu(x, negative_slope=0.01).astype(self.dtype)
+        return x
+
+
+class Encoder(nn.Module):
+    features: Sequence[int] = DEFAULT_FEATURES
+    dropout: Sequence[float] = DEFAULT_DROPOUT
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        feats = []
+        x = ConvBlock(self.features[0], self.dropout[0], self.dtype)(x, train=train)
+        feats.append(x)
+        for ch, p in zip(self.features[1:], self.dropout[1:]):
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = ConvBlock(ch, p, self.dtype)(x, train=train)
+            feats.append(x)
+        return feats
+
+
+class UpBlock(nn.Module):
+    """ConvTranspose upsample of the deep path, concat skip, ConvBlock."""
+
+    skip_features: int
+    out_features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x_deep, x_skip, *, train: bool):
+        x = TorchConvTranspose(self.skip_features, dtype=self.dtype)(x_deep)
+        x = jnp.concatenate([x_skip, x], axis=-1)
+        return ConvBlock(self.out_features, 0.0, self.dtype)(x, train=train)
+
+
+class Decoder(nn.Module):
+    features: Sequence[int] = DEFAULT_FEATURES
+    num_classes: int = 4
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats, *, train: bool):
+        f = self.features
+        x = UpBlock(f[3], f[3], self.dtype)(feats[4], feats[3], train=train)
+        x = UpBlock(f[2], f[2], self.dtype)(x, feats[2], train=train)
+        x = UpBlock(f[1], f[1], self.dtype)(x, feats[1], train=train)
+        x = UpBlock(f[0], f[0], self.dtype)(x, feats[0], train=train)
+        logits = TorchConv(self.num_classes, dtype=self.dtype)(x)
+        return logits.astype(jnp.float32)
+
+
+class DecoderDS(nn.Module):
+    """Decoder with deep-supervision heads at every scale (unet.py:138-188)."""
+
+    features: Sequence[int] = DEFAULT_FEATURES
+    num_classes: int = 4
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats, *, train: bool):
+        f = self.features
+        out_hw = feats[0].shape[1:3]
+
+        def head(x):
+            return TorchConv(self.num_classes, dtype=self.dtype)(x)
+
+        def up_to_full(z):
+            return jax.image.resize(
+                z, (z.shape[0], *out_hw, z.shape[-1]), method="nearest"
+            ).astype(jnp.float32)
+
+        x = UpBlock(f[3], f[3], self.dtype)(feats[4], feats[3], train=train)
+        dp3 = up_to_full(head(x))
+        x = UpBlock(f[2], f[2], self.dtype)(x, feats[2], train=train)
+        dp2 = up_to_full(head(x))
+        x = UpBlock(f[1], f[1], self.dtype)(x, feats[1], train=train)
+        dp1 = up_to_full(head(x))
+        x = UpBlock(f[0], f[0], self.dtype)(x, feats[0], train=train)
+        dp0 = head(x).astype(jnp.float32)
+        return dp0, dp1, dp2, dp3
+
+
+def channel_dropout(rng, x, rate: float = 0.5):
+    """torch F.dropout2d: zero whole channels with prob `rate`, scale rest."""
+    keep = jax.random.bernoulli(rng, 1.0 - rate, (x.shape[0], 1, 1, x.shape[-1]))
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
+def feature_noise(rng, x, uniform_range: float = 0.3):
+    """unet.py:270-283: x * U(-r, r) + x with noise shared across batch."""
+    noise = jax.random.uniform(
+        rng, x.shape[1:], minval=-uniform_range, maxval=uniform_range
+    ).astype(x.dtype)
+    return x * noise[None] + x
+
+
+def feature_dropout(rng, x):
+    """unet.py:259-267: drop spatial positions above a random attention cut."""
+    attention = jnp.mean(x, axis=-1, keepdims=True)
+    max_val = jnp.max(attention.reshape(x.shape[0], -1), axis=1)
+    thresh = max_val * jax.random.uniform(rng, (), minval=0.7, maxval=0.9)
+    mask = (attention < thresh[:, None, None, None]).astype(x.dtype)
+    return x * mask
+
+
+class UNet(nn.Module):
+    num_classes: int = 4
+    features: Sequence[int] = DEFAULT_FEATURES
+    dropout: Sequence[float] = DEFAULT_DROPOUT
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        feats = Encoder(self.features, self.dropout, self.dtype)(x, train=train)
+        return Decoder(self.features, self.num_classes, self.dtype)(
+            feats, train=train
+        )
+
+
+class UNetDS(nn.Module):
+    num_classes: int = 4
+    features: Sequence[int] = DEFAULT_FEATURES
+    dropout: Sequence[float] = DEFAULT_DROPOUT
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        feats = Encoder(self.features, self.dropout, self.dtype)(x, train=train)
+        return DecoderDS(self.features, self.num_classes, self.dtype)(
+            feats, train=train
+        )
+
+
+class UNetCCT(nn.Module):
+    """Dual-branch net for DMPLS: main decoder + channel-dropout aux decoder."""
+
+    num_classes: int = 4
+    features: Sequence[int] = DEFAULT_FEATURES
+    dropout: Sequence[float] = DEFAULT_DROPOUT
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        feats = Encoder(self.features, self.dropout, self.dtype)(x, train=train)
+        main = Decoder(self.features, self.num_classes, self.dtype, name="main_decoder")(
+            feats, train=train
+        )
+        if train:
+            rng = self.make_rng("feature_perturb")
+            keys = jax.random.split(rng, len(feats))
+            feats_aux = [channel_dropout(k, f) for k, f in zip(keys, feats)]
+        else:
+            feats_aux = feats
+        aux = Decoder(self.features, self.num_classes, self.dtype, name="aux_decoder1")(
+            feats_aux, train=train
+        )
+        return main, aux
+
+
+class UNetCCT3H(nn.Module):
+    """Three-headed CCT variant (unet.py:349-371, intent-corrected)."""
+
+    num_classes: int = 4
+    features: Sequence[int] = DEFAULT_FEATURES
+    dropout: Sequence[float] = DEFAULT_DROPOUT
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        feats = Encoder(self.features, self.dropout, self.dtype)(x, train=train)
+        main = Decoder(self.features, self.num_classes, self.dtype, name="main_decoder")(
+            feats, train=train
+        )
+        if train:
+            rng = self.make_rng("feature_perturb")
+            k1, k2 = jax.random.split(rng)
+            keys1 = jax.random.split(k1, len(feats))
+            keys2 = jax.random.split(k2, len(feats))
+            feats_a1 = [channel_dropout(k, f) for k, f in zip(keys1, feats)]
+            feats_a2 = [feature_noise(k, f) for k, f in zip(keys2, feats)]
+        else:
+            feats_a1 = feats_a2 = feats
+        aux1 = Decoder(self.features, self.num_classes, self.dtype, name="aux_decoder1")(
+            feats_a1, train=train
+        )
+        aux2 = Decoder(self.features, self.num_classes, self.dtype, name="aux_decoder2")(
+            feats_a2, train=train
+        )
+        return main, aux1, aux2

@@ -1,0 +1,257 @@
+"""Segmentation loss zoo (pure jnp, channels-last).
+
+Semantics match /root/reference/code/utils/losses.py and the inline loss
+definitions in the reference train scripts; every function here is jit- and
+grad-compatible and operates on NHWC logits/probabilities with integer
+(B, H, W) label maps.
+
+Conventions:
+  * `logits`/`probs`: (B, H, W, C) float; `labels`: (B, H, W) int.
+  * scribble supervision uses ignore class 4 (train_weakly_supervised_
+    pCE_2D.py:81).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy(logits, labels, ignore_index: int | None = None):
+    """torch.nn.CrossEntropyLoss parity: mean NLL over non-ignored pixels."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    c = logits.shape[-1]
+    safe_labels = jnp.clip(labels, 0, c - 1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    if ignore_index is None:
+        return jnp.mean(nll)
+    mask = (labels != ignore_index).astype(nll.dtype)
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum(nll * mask) / denom
+
+
+def one_hot(labels, num_classes):
+    return jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+
+
+def _soft_dice(score, target, smooth=1e-5):
+    """1 - (2*sum(st)+s) / (sum(s^2)+sum(t^2)+s) over the whole batch.
+
+    Parity: losses.py:169-177 (squared-sum denominator).
+    """
+    intersect = jnp.sum(score * target)
+    y_sum = jnp.sum(target * target)
+    z_sum = jnp.sum(score * score)
+    return 1.0 - (2.0 * intersect + smooth) / (z_sum + y_sum + smooth)
+
+
+def dice_loss(probs, labels, num_classes: int):
+    """Multi-class soft Dice, mean over classes (losses.py:156-192)."""
+    target = one_hot(labels, num_classes)
+    per_class = jax.vmap(
+        lambda c: _soft_dice(probs[..., c], target[..., c])
+    )(jnp.arange(num_classes))
+    return jnp.mean(per_class)
+
+
+def pdice_loss(probs, labels, num_classes: int, ignore_index: int = 4):
+    """Partial (annotation-masked) Dice — pDLoss (losses.py:195-232)."""
+    mask = (labels != ignore_index).astype(jnp.float32)
+    target = one_hot(labels, num_classes)
+
+    def per_class(c):
+        score = probs[..., c] * mask
+        tgt = target[..., c] * mask
+        # reference multiplies each of the three sums by the ignore mask;
+        # masking score and target once is algebraically identical for the
+        # 0/1 mask (losses.py:209-217).
+        return _soft_dice(score, tgt)
+
+    return jnp.mean(jax.vmap(per_class)(jnp.arange(num_classes)))
+
+
+def entropy_loss(probs, num_classes: int):
+    """Normalized pixelwise entropy, mean over batch (losses.py:30-36)."""
+    ent = -jnp.sum(probs * jnp.log(probs + 1e-6), axis=-1) / jnp.log(
+        jnp.float32(num_classes)
+    )
+    return jnp.mean(ent)
+
+
+def entropy_minimization(probs):
+    """Unnormalized entropy mean (losses.py:235-239)."""
+    return jnp.mean(-jnp.sum(probs * jnp.log(probs + 1e-6), axis=-1))
+
+
+def entropy_map(probs):
+    """Per-pixel entropy map, keepdims on channel (losses.py:242-245)."""
+    return -jnp.sum(probs * jnp.log(probs + 1e-6), axis=-1, keepdims=True)
+
+
+def softmax_mse_loss(input_logits, target_logits):
+    """Elementwise (softmax(a) - softmax(b))^2 map (losses.py:65-82).
+
+    Gradients flow to `input_logits` only (target is stopped), matching the
+    teacher-detached usage in the MT family.
+    """
+    p = jax.nn.softmax(input_logits, axis=-1)
+    q = jax.lax.stop_gradient(jax.nn.softmax(target_logits, axis=-1))
+    return (p - q) ** 2
+
+
+def softmax_kl_loss(input_logits, target_logits):
+    """F.kl_div(log_softmax(a), softmax(b), reduction='mean') parity.
+
+    torch 'mean' divides by the *element* count, not the batch size
+    (losses.py:85-104).
+    """
+    logp = jax.nn.log_softmax(input_logits, axis=-1)
+    q = jax.lax.stop_gradient(jax.nn.softmax(target_logits, axis=-1))
+    kl = q * (jnp.log(jnp.clip(q, 1e-30)) - logp)
+    return jnp.mean(kl)
+
+
+def symmetric_mse_loss(a, b):
+    """mean((a-b)^2), gradients to both sides (losses.py:107-116)."""
+    return jnp.mean((a - b) ** 2)
+
+
+def _maxpool3x3(x):
+    """3x3 stride-1 SAME max pool on NHWC."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 1, 1, 1), "SAME"
+    )
+
+
+def tv_loss(probs):
+    """Min-pool/contour total-variation regularizer.
+
+    Parity: train_weakly_supervised_pCE_TV_2D.py:58-65 —
+    min_pool = -maxpool(-p); contour = relu(maxpool(min_pool) - min_pool);
+    loss = mean(|contour|). Input is (B, H, W, C) probabilities (the
+    reference script's `outputs_soft[1:]` batch-slice is an indexing quirk;
+    pass the intended channel selection at the call site).
+    """
+    min_pool = -_maxpool3x3(-probs)
+    contour = jax.nn.relu(_maxpool3x3(min_pool) - min_pool)
+    return jnp.mean(jnp.abs(contour))
+
+
+def mumford_shah_loss(image, probs, penalty: str = "l1"):
+    """Level-set homogeneity + prediction TV (losses.py:275-309).
+
+    image: (B, H, W, Ci); probs: (B, H, W, C). Both terms are *sums* (not
+    means), matching the reference; the caller applies the 1e-6 weight
+    (train_weakly_supervised_pCE_MumfordShah_Loss_2D.py:102-103).
+    """
+    level = 0.0
+    for ich in range(image.shape[-1]):
+        tgt = image[..., ich : ich + 1]  # (B,H,W,1)
+        pc_num = jnp.sum(tgt * probs, axis=(1, 2))  # (B,C)
+        pc_den = jnp.sum(probs, axis=(1, 2))
+        pcentroid = pc_num / pc_den
+        plevel = tgt - pcentroid[:, None, None, :]
+        level = level + jnp.sum(plevel * plevel * probs)
+    dh = jnp.abs(probs[:, 1:, :, :] - probs[:, :-1, :, :])
+    dw = jnp.abs(probs[:, :, 1:, :] - probs[:, :, :-1, :])
+    if penalty == "l2":
+        dh, dw = dh * dh, dw * dw
+    return level + jnp.sum(dh) + jnp.sum(dw)
+
+
+def intensity_variance_losses(image, probs, num_classes: int):
+    """Inter/Intra-class intensity statistics.
+
+    Parity: train_weakly_supervised_pCE_Inter&Intra_Class_2D.py:30-36 —
+    per class c: mask-weighted mean intensity mu_c = sum(img*p_c)/sum(p_c);
+    intra = sum_c sum(p_c * (img - mu_c)^2) / sum(p_c)  (within-class var)
+    inter = variance of the class means.
+    Returns (inter, intra); the driver combines them as (intra - inter) with
+    a ramped weight (script :114-118).
+    """
+    img = image[..., 0]  # (B,H,W) grayscale
+    means = []
+    intra = 0.0
+    for c in range(num_classes):
+        p = probs[..., c]
+        denom = jnp.sum(p) + 1e-6
+        mu = jnp.sum(img * p) / denom
+        intra = intra + jnp.sum(p * (img - mu) ** 2) / denom
+        means.append(mu)
+    means = jnp.stack(means)
+    inter = jnp.var(means)
+    return inter, intra
+
+
+def size_loss(logits, target, margin: float = 0.1):
+    """Margin-bounded predicted-area penalty (losses.py:248-272).
+
+    target: (B, ...) integer labels whose per-class pixel counts bound the
+    predicted soft areas. Kept for inventory parity (unused by reference
+    scripts).
+    """
+    probs = jax.nn.softmax(logits, axis=-1)
+    spatial_axes = tuple(range(1, probs.ndim - 1))
+    out_counts = jnp.sum(probs, axis=spatial_axes)  # (B, C)
+    c = probs.shape[-1]
+    tgt_counts = jnp.sum(
+        one_hot(target.reshape(target.shape[0], -1), c), axis=1
+    )
+    lower = tgt_counts * (1 - margin)
+    upper = tgt_counts * (1 + margin)
+    pen_small = (out_counts - lower) ** 2 * (out_counts < lower)
+    pen_big = (out_counts - upper) ** 2 * (out_counts > upper)
+    res = pen_small[:, 1:] + pen_big[:, 1:]
+    numel = 1
+    for ax in spatial_axes:
+        numel *= probs.shape[ax]
+    return jnp.mean(res / numel)
+
+
+def focal_loss(logits, labels, gamma: float = 2.0, alpha=None):
+    """FocalLoss parity (losses.py:119-153), mean reduction."""
+    logp = jax.nn.log_softmax(logits.reshape(-1, logits.shape[-1]), axis=-1)
+    flat = labels.reshape(-1)
+    lp = jnp.take_along_axis(logp, flat[:, None], axis=-1)[:, 0]
+    pt = jax.lax.stop_gradient(jnp.exp(lp))
+    if alpha is not None:
+        at = jnp.asarray(alpha)[flat]
+        lp = lp * at
+    return jnp.mean(-((1 - pt) ** gamma) * lp)
+
+
+def supcon_loss(features, labels=None, mask=None, temperature=0.07,
+                contrast_mode="all", base_temperature=0.07):
+    """Supervised contrastive loss (losses.py:311-398).
+
+    features: (B, V, D) L2-normalized views. labels: (B,) int or mask:
+    (B, B). Used by the ScribbleVC pipeline.
+    """
+    if features.ndim != 3:
+        raise ValueError("features must be (batch, views, dim)")
+    b, v, _ = features.shape
+    if labels is not None and mask is not None:
+        raise ValueError("specify labels or mask, not both")
+    if labels is None and mask is None:
+        mask = jnp.eye(b, dtype=jnp.float32)
+    elif labels is not None:
+        labels = labels.reshape(-1, 1)
+        mask = (labels == labels.T).astype(jnp.float32)
+    contrast = features.transpose(1, 0, 2).reshape(v * b, -1)
+    if contrast_mode == "one":
+        anchor, anchor_count = features[:, 0], 1
+    else:
+        anchor, anchor_count = contrast, v
+    logits = anchor @ contrast.T / temperature
+    logits = logits - jax.lax.stop_gradient(jnp.max(logits, axis=1, keepdims=True))
+    mask = jnp.tile(mask, (anchor_count, v))
+    n = b * anchor_count
+    logits_mask = 1.0 - jnp.eye(n, mask.shape[1], dtype=jnp.float32)
+    mask = mask * logits_mask
+    exp_logits = jnp.exp(logits) * logits_mask
+    log_prob = logits - jnp.log(jnp.sum(exp_logits, axis=1, keepdims=True))
+    mean_log_prob_pos = jnp.sum(mask * log_prob, axis=1) / jnp.maximum(
+        jnp.sum(mask, axis=1), 1e-12
+    )
+    loss = -(temperature / base_temperature) * mean_log_prob_pos
+    return jnp.mean(loss.reshape(anchor_count, b))
