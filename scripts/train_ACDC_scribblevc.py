@@ -30,6 +30,9 @@ parser.add_argument("--patch_size", type=str, default="[256, 256]")
 parser.add_argument("--compute_dtype", type=str, default="bfloat16")
 parser.add_argument("--snapshot_root", type=str, default="model")
 parser.add_argument("--data_limit", type=int, default=None)
+parser.add_argument("--pretrain_weights", type=str, default="",
+                    help="msgpack checkpoint to warm-start from "
+                         "(reference train_ACDC_scribblevc.py:154-156)")
 
 if __name__ == "__main__":
     import ast
@@ -53,6 +56,15 @@ if __name__ == "__main__":
         max_iterations=1,  # fixed up after the dataset size is known
     )
     bundle = get_method("scribblevc").build(cfg)
+    if args.pretrain_weights:
+        from wsl4mis_tpu.utils.checkpoint import load_checkpoint
+
+        restored = load_checkpoint(args.pretrain_weights)
+        print("Load pretrain weight from", args.pretrain_weights)
+        bundle.state = bundle.state.replace(
+            params=restored["params"],
+            batch_stats=restored.get("batch_stats", bundle.state.batch_stats),
+        )
     cfg = cfg.replace(
         max_iterations=args.max_epoches * bundle.steps_per_epoch,
         val_every=args.val_every_epoches * bundle.steps_per_epoch,
