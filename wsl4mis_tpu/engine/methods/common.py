@@ -38,6 +38,12 @@ class MethodBundle:
                                         # step as arguments (e.g. the staged
                                         # dataset) — never baked as jit
                                         # constants (huge compile payloads)
+    nan_val_metrics: bool = False       # ScribbleVC NaN-mean val conventions
+                                        # (val_2D_scribblevc.py:15-28)
+    dice_snapshot_threshold: float | None = None
+                                        # save a {model}_{dice}_model.pth
+                                        # snapshot whenever val dice beats
+                                        # this (train_ACDC_scribblevc.py:292-295)
 
 
 def compute_dtype(cfg: TrainConfig):
@@ -178,6 +184,37 @@ def sigmoid_rampup_jnp(current, rampup_length: float):
     cur = jnp.clip(current.astype(jnp.float32), 0.0, rampup_length)
     phase = 1.0 - cur / rampup_length
     return jnp.exp(-5.0 * phase * phase)
+
+
+def resolve_labeled_bs(cfg: TrainConfig) -> int:
+    """The labeled/unlabeled batch split for the semi-supervised family:
+    [labeled_bs labeled, batch_size - labeled_bs unlabeled].
+
+    Honors --labeled_bs (train_mean_teacher_2D.py:58; the reference
+    snapshot exposes the flag but hardwires batch_size//2 loaders at
+    :112-115 — intent-fixed here; defaults (12, 6) coincide). A labeled_bs
+    that leaves no unlabeled samples falls back to the half split.
+    """
+    if 0 < cfg.labeled_bs < cfg.batch_size:
+        return cfg.labeled_bs
+    return cfg.batch_size // 2
+
+
+def train_vis(x, logits, labels):
+    """Visualization tensors for the TB image triptych
+    (train_fully_supervised_2D.py:121-130): batch element 1's input image,
+    argmax prediction, and ground truth. Returned inside the step's metrics
+    dict under the reserved key ``vis``; the Trainer fetches and writes them
+    at the image cadence (every 20 iterations, reference tags
+    train/Image, train/Prediction, train/GroundTruth)."""
+    if isinstance(logits, (tuple, list)):
+        logits = logits[0]
+    i = 1 if x.shape[0] > 1 else 0
+    return {
+        "image": x[i, ..., 0].astype(jnp.float32),
+        "pred": jnp.argmax(logits[i], axis=-1).astype(jnp.int32),
+        "label": labels[i].astype(jnp.int32),
+    }
 
 
 def split_rngs(rng, names=("aug", "dropout", "feature_perturb", "method")):

@@ -29,14 +29,17 @@ from .common import (
     forward_train,
     make_model_and_state,
     prep_batch,
+    resolve_labeled_bs,
     sigmoid_rampup_jnp,
     split_rngs,
+    train_vis,
 )
 
 
 def make_step(cfg: TrainConfig, disc: FCDiscriminator, disc_tx):
     num_classes = cfg.num_classes
-    labeled_bs = cfg.batch_size // 2
+    # honor --labeled_bs (train_deep_adversarial_network_2D.py:58)
+    labeled_bs = resolve_labeled_bs(cfg)
 
     def step_fn(state, batch, rng, aux=None):
         rngs = split_rngs(
@@ -125,6 +128,7 @@ def make_step(cfg: TrainConfig, disc: FCDiscriminator, disc_tx):
             "loss_dice": loss_dice,
             "consistency_loss": adversarial,
             "dan_loss": d_loss,
+            "vis": train_vis(x_lab, out_lab_eval, y_lab),
         }
 
     return step_fn
@@ -160,13 +164,16 @@ def build(cfg: TrainConfig) -> MethodBundle:
         base_dir=cfg.root_path, fold=cfg.fold,
         limit=(4 if cfg.data_limit else None),
     )
-    half = cfg.batch_size // 2
-    it = paired_iterator(labeled, unlabeled, half, half, seed=cfg.seed)
+    labeled_bs = resolve_labeled_bs(cfg)
+    unlabeled_bs = cfg.batch_size - labeled_bs
+    it = paired_iterator(
+        labeled, unlabeled, labeled_bs, unlabeled_bs, seed=cfg.seed
+    )
     return MethodBundle(
         model=model,
         state=state,
         step_fn=make_step(cfg, disc, disc_tx),
         data_iter=it,
         val_volumes=val,
-        steps_per_epoch=len(unlabeled) // half,
+        steps_per_epoch=len(unlabeled) // unlabeled_bs,
     )

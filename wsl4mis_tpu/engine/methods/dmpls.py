@@ -28,6 +28,7 @@ from .common import (
     prep_batch,
     split_rngs,
     standard_data,
+    train_vis,
 )
 
 
@@ -60,16 +61,17 @@ def make_step(cfg: TrainConfig):
                 + losses.pdice_loss(p2, pseudo, num_classes)
             )
             loss = loss_ce + 0.5 * loss_pse
-            return loss, (loss_ce, loss_pse, new_bs)
+            return loss, (loss_ce, loss_pse, out_main, new_bs)
 
-        (loss, (loss_ce, loss_pse, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        (loss, (loss_ce, loss_pse, out_main, new_bs)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        )
         state = state.apply_gradients(grads, batch_stats=new_bs)
         return state, {
             "total_loss": loss,
             "loss_ce": loss_ce,
             "loss_pse_sup": loss_pse,
+            "vis": train_vis(x, out_main, labels),
         }
 
     return step_fn

@@ -20,6 +20,7 @@ from .common import (
     split_rngs,
     standard_data,
     supervised_ce_dice,
+    train_vis,
 )
 
 
@@ -41,14 +42,18 @@ def make_step(cfg: TrainConfig):
             loss, loss_ce, loss_dice = supervised_ce_dice(
                 outputs, labels, num_classes
             )
-            return loss, (loss_ce, loss_dice, new_bs)
+            return loss, (loss_ce, loss_dice, outputs, new_bs)
 
-        (loss, (loss_ce, loss_dice, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        (loss, (loss_ce, loss_dice, outputs, new_bs)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        )
         state = state.apply_gradients(grads, batch_stats=new_bs)
-        metrics = {"total_loss": loss, "loss_ce": loss_ce, "loss_dice": loss_dice}
-        return state, metrics
+        return state, {
+            "total_loss": loss,
+            "loss_ce": loss_ce,
+            "loss_dice": loss_dice,
+            "vis": train_vis(x, outputs, labels),
+        }
 
     return step_fn
 

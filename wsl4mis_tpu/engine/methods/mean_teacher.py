@@ -36,8 +36,10 @@ from .common import (
     forward_train,
     make_model_and_state,
     prep_batch,
+    resolve_labeled_bs,
     sigmoid_rampup_jnp,
     split_rngs,
+    train_vis,
 )
 
 
@@ -63,7 +65,7 @@ def teacher_forward(state, ema_params, x, rng):
 def make_step(cfg: TrainConfig):
     method = cfg.method
     num_classes = cfg.num_classes
-    labeled_bs = cfg.batch_size // 2
+    labeled_bs = resolve_labeled_bs(cfg)
 
     def step_fn(state, batch, rng, aux=None):
         rngs = split_rngs(
@@ -88,7 +90,9 @@ def make_step(cfg: TrainConfig):
             supervised = 0.5 * (loss_ce + loss_dice)
 
             if method == "partially_supervised":
-                return supervised, (loss_ce, loss_dice, jnp.float32(0.0), bs1)
+                return supervised, (
+                    loss_ce, loss_dice, jnp.float32(0.0), out_lab, bs1
+                )
 
             out_unlab, bs2 = forward_train(
                 st.replace(batch_stats=bs1),
@@ -127,9 +131,9 @@ def make_step(cfg: TrainConfig):
                 state.step // 300, cfg.consistency_rampup
             )
             loss = supervised + weight * consistency
-            return loss, (loss_ce, loss_dice, consistency, bs2)
+            return loss, (loss_ce, loss_dice, consistency, out_lab, bs2)
 
-        (loss, (loss_ce, loss_dice, consistency, new_bs)), grads = (
+        (loss, (loss_ce, loss_dice, consistency, out_lab, new_bs)), grads = (
             jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         )
         extra = state.extra
@@ -144,6 +148,7 @@ def make_step(cfg: TrainConfig):
             "loss_ce": loss_ce,
             "loss_dice": loss_dice,
             "consistency_loss": consistency,
+            "vis": train_vis(x_lab, out_lab, y_lab),
         }
 
     return step_fn
@@ -187,9 +192,12 @@ def build(cfg: TrainConfig) -> MethodBundle:
         base_dir=cfg.root_path, fold=cfg.fold,
         limit=(4 if cfg.data_limit else None),
     )
-    half = cfg.batch_size // 2
-    it = paired_iterator(labeled, unlabeled, half, half, seed=cfg.seed)
-    spe = len(unlabeled) // half
+    labeled_bs = resolve_labeled_bs(cfg)
+    unlabeled_bs = cfg.batch_size - labeled_bs
+    it = paired_iterator(
+        labeled, unlabeled, labeled_bs, unlabeled_bs, seed=cfg.seed
+    )
+    spe = len(unlabeled) // unlabeled_bs
     return MethodBundle(
         model=model,
         state=state,

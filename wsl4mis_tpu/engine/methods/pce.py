@@ -18,6 +18,7 @@ from .common import (
     prep_batch,
     split_rngs,
     standard_data,
+    train_vis,
 )
 
 
@@ -35,13 +36,17 @@ def make_step(cfg: TrainConfig):
                 {"dropout": rngs["dropout"], "feature_perturb": rngs["feature_perturb"]},
             )
             loss_ce = losses.cross_entropy(outputs, labels, ignore_index=4)
-            return loss_ce, new_bs
+            return loss_ce, (outputs, new_bs)
 
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (loss, (outputs, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         state = state.apply_gradients(grads, batch_stats=new_bs)
-        return state, {"total_loss": loss, "loss_ce": loss}
+        return state, {
+            "total_loss": loss,
+            "loss_ce": loss,
+            "vis": train_vis(x, outputs, labels),
+        }
 
     return step_fn
 

@@ -39,6 +39,7 @@ from .common import (
     sigmoid_rampup_jnp,
     split_rngs,
     standard_data,
+    train_vis,
 )
 
 
@@ -102,13 +103,18 @@ def make_step(cfg: TrainConfig):
                 loss = loss_ce + weight * reg
             else:
                 raise ValueError(f"unhandled method {method}")
-            return loss, (loss_ce, reg, new_bs)
+            return loss, (loss_ce, reg, outputs, new_bs)
 
-        (loss, (loss_ce, reg, new_bs)), grads = jax.value_and_grad(
+        (loss, (loss_ce, reg, outputs, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
         state = state.apply_gradients(grads, batch_stats=new_bs)
-        return state, {"total_loss": loss, "loss_ce": loss_ce, "loss_reg": reg}
+        return state, {
+            "total_loss": loss,
+            "loss_ce": loss_ce,
+            "loss_reg": reg,
+            "vis": train_vis(x, outputs, labels),
+        }
 
     return step_fn
 

@@ -30,7 +30,13 @@ from ...data.acdc import AcdcSliceDataset
 from ...data.augment_device import augment_batch_s2l
 from ...ops import losses
 from ..config import TrainConfig
-from .common import MethodBundle, forward_train, make_model_and_state, split_rngs
+from .common import (
+    MethodBundle,
+    forward_train,
+    make_model_and_state,
+    split_rngs,
+    train_vis,
+)
 
 
 def make_step(cfg: TrainConfig):
@@ -64,13 +70,18 @@ def make_step(cfg: TrainConfig):
             loss_u = losses.cross_entropy(outputs, u_labels, ignore_index=4)
             use_u = (state.step >= thr_iter).astype(jnp.float32)
             loss = loss_ce + use_u * 0.5 * loss_u
-            return loss, (loss_ce, loss_u, new_bs)
+            return loss, (loss_ce, loss_u, outputs, new_bs)
 
-        (loss, (loss_ce, loss_u, new_bs)), grads = jax.value_and_grad(
+        (loss, (loss_ce, loss_u, outputs, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
         state = state.apply_gradients(grads, batch_stats=new_bs)
-        return state, {"total_loss": loss, "loss_ce": loss_ce, "loss_u": loss_u}
+        return state, {
+            "total_loss": loss,
+            "loss_ce": loss_ce,
+            "loss_u": loss_u,
+            "vis": train_vis(x, outputs, scribbles),
+        }
 
     return step_fn
 
@@ -80,7 +91,11 @@ def make_refresh(cfg: TrainConfig, images: np.ndarray, refresh_bs: int = 32):
 
     The image stack is staged once and passed as a jit *argument* (baking
     it as a closure constant bloats the compile payload past the remote
-    compiler's limits).
+    compiler's limits). Staging is lazy and sharding-aware: on a
+    multi-device mesh the stack is placed with the same (replicated)
+    sharding as the weight buffer, so the refresh is consistent with the
+    data-parallel train step (the sweep itself is replicated — it runs
+    every period_iter only, a negligible slice of the step budget).
     """
     n = images.shape[0]
     pad = (-n) % refresh_bs
@@ -88,10 +103,9 @@ def make_refresh(cfg: TrainConfig, images: np.ndarray, refresh_bs: int = 32):
         [images, np.zeros((pad, *images.shape[1:]), images.dtype)], axis=0
     )
     num_batches = padded.shape[0] // refresh_bs
-    xs_staged = jax.device_put(
-        padded.reshape(num_batches, refresh_bs, *images.shape[1:], 1)
-    )
+    xs_host = padded.reshape(num_batches, refresh_bs, *images.shape[1:], 1)
     alpha = cfg.alpha
+    cache: dict = {}
 
     @jax.jit
     def refresh_impl(state, xs):
@@ -104,7 +118,21 @@ def make_refresh(cfg: TrainConfig, images: np.ndarray, refresh_bs: int = 32):
         new_weight = alpha * preds + (1 - alpha) * state.extra["weight"]
         return state.replace(extra={"weight": new_weight})
 
-    return lambda state: refresh_impl(state, xs_staged)
+    def refresh(state):
+        if "xs" not in cache:
+            sharding = getattr(state.extra["weight"], "sharding", None)
+            mesh = getattr(sharding, "mesh", None)
+            if mesh is not None and mesh.devices.size > 1:
+                from ...parallel.mesh import replicated_sharding
+
+                cache["xs"] = jax.device_put(
+                    xs_host, replicated_sharding(mesh)
+                )
+            else:
+                cache["xs"] = jax.device_put(xs_host)
+        return refresh_impl(state, cache["xs"])
+
+    return refresh
 
 
 def build(cfg: TrainConfig) -> MethodBundle:

@@ -32,7 +32,13 @@ from ...ops import losses
 from ...ops.gated_crf import select_gated_crf
 from ..config import TrainConfig
 from ..state import TrainState
-from .common import MethodBundle, compute_dtype, prep_batch, split_rngs
+from .common import (
+    MethodBundle,
+    compute_dtype,
+    prep_batch,
+    split_rngs,
+    train_vis,
+)
 
 
 def cam_decision(outputs):
@@ -59,8 +65,11 @@ def make_step(cfg: TrainConfig, model: ScribbleVC, steps_per_epoch: int):
 
     def step_fn(state, batch, rng, aux=None):
         rngs = split_rngs(rng)
-        x, labels = prep_batch(rngs["aug"], batch)
-        category = batch["category"]
+        x, labels = prep_batch(rngs["aug"], batch, aux)
+        if aux is not None and "index" in batch:
+            category = jnp.take(aux["category"], batch["index"], axis=0)
+        else:
+            category = batch["category"]
         beta = jax.random.uniform(rngs["method"]) + 1e-10
         ep = state.step // steps_per_epoch
         use_rep = ep > 4
@@ -111,9 +120,11 @@ def make_step(cfg: TrainConfig, model: ScribbleVC, steps_per_epoch: int):
             loss = (
                 loss_ce + w_pse * loss_pse + w_crf * loss_crf + w_cls * loss_cls
             )
-            return loss, (loss_ce, loss_pse, loss_crf, loss_cls, new_bs, new_mem)
+            return loss, (
+                loss_ce, loss_pse, loss_crf, loss_cls, pred1, new_bs, new_mem
+            )
 
-        (loss, (l_ce, l_pse, l_crf, l_cls, new_bs, new_mem)), grads = (
+        (loss, (l_ce, l_pse, l_crf, l_cls, pred1, new_bs, new_mem)), grads = (
             jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         )
         state = state.apply_gradients(
@@ -125,22 +136,32 @@ def make_step(cfg: TrainConfig, model: ScribbleVC, steps_per_epoch: int):
             "loss_pseudo": l_pse,
             "loss_crf": l_crf,
             "loss_cls": l_cls,
+            "vis": train_vis(x, pred1, labels),
         }
 
     return step_fn
 
 
 def build(cfg: TrainConfig) -> MethodBundle:
+    rw_mode = "acdc"
     if cfg.fold == "MSCMRfold":
         fold = cfg.fold
         slices_dir, volumes_dir = "MSCMR_training_slices", "MSCMR_training_volumes"
+    elif cfg.fold.startswith("prostate_"):
+        # Prostate ScribbleVC variant (dataset_scribblevc.py:39-165);
+        # num_classes=3, on-the-fly random-walker supervision supported
+        fold = cfg.fold
+        slices_dir, volumes_dir = (
+            "Prostate_training_slices", "Prostate_training_volumes"
+        )
+        rw_mode = "prostate"
     else:
         fold = cfg.fold if cfg.fold.startswith("MAAGfold") else "MAAGfold"
         slices_dir, volumes_dir = "ACDC_training_slices", "ACDC_training_volumes"
     train = AcdcSliceDataset(
         base_dir=cfg.root_path, fold=fold, sup_type=cfg.sup_type,
         patch_size=cfg.patch_size, limit=cfg.data_limit,
-        slices_dirname=slices_dir,
+        slices_dirname=slices_dir, rw_mode=rw_mode,
     )
     category = slice_categories(train.dense_labels, cfg.num_classes)
     val = AcdcVolumeDataset(
@@ -151,11 +172,25 @@ def build(cfg: TrainConfig) -> MethodBundle:
     base_iter = batch_iterator(
         train, cfg.batch_size, seed=cfg.seed, include_index=True
     )
+    if cfg.device_data:
+        # stage images/labels/category in HBM; a batch is a (B,) index
+        # vector and the gather + augmentation run inside the jitted step
+        # (no per-step H2D image copy — critical over a tunneled chip).
+        aux = {
+            "images": jax.device_put(train.images),
+            "labels": jax.device_put(train.labels.astype(np.uint8)),
+            "category": jax.device_put(category),
+        }
+        data_iter = ({"index": b["index"].astype(np.int32)} for b in base_iter)
+    else:
+        aux = None
 
-    def iter_with_category():
-        for b in base_iter:
-            b["category"] = category[b.pop("index")]
-            yield b
+        def iter_with_category():
+            for b in base_iter:
+                b["category"] = category[b.pop("index")]
+                yield b
+
+        data_iter = iter_with_category()
 
     model = ScribbleVC(
         num_classes=cfg.num_classes, batch_size=cfg.batch_size,
@@ -193,9 +228,12 @@ def build(cfg: TrainConfig) -> MethodBundle:
         model=model,
         state=state,
         step_fn=make_step(cfg, model, steps_per_epoch),
-        data_iter=iter_with_category(),
+        aux=aux,
+        data_iter=data_iter,
         val_volumes=val,
         steps_per_epoch=steps_per_epoch,
         predictor=predictor,
         val_variables=val_variables,
+        nan_val_metrics=True,
+        dice_snapshot_threshold=0.85,
     )

@@ -26,6 +26,7 @@ from .common import (
     split_rngs,
     stage_dataset,
     standard_data,
+    train_vis,
 )
 from .mean_teacher import clamped_noise, teacher_forward
 
@@ -105,11 +106,11 @@ def make_step(cfg: TrainConfig):
             dist = losses.softmax_mse_loss(rotated_outputs, ema_out)
             consistency = jnp.sum(mask * dist) / (2 * jnp.sum(mask) + 1e-16)
             loss = loss_ce + consistency_weight * consistency
-            return loss, (loss_ce, consistency, new_bs)
+            return loss, (loss_ce, consistency, outputs, new_bs)
 
-        (loss, (loss_ce, consistency, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        (loss, (loss_ce, consistency, outputs, new_bs)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        )
         state = state.apply_gradients(grads, batch_stats=new_bs)
         new_ema = ema_update(
             state.extra["ema_params"], state.params, 0.99, state.step
@@ -119,6 +120,7 @@ def make_step(cfg: TrainConfig):
             "total_loss": loss,
             "loss_ce": loss_ce,
             "consistency_loss": consistency,
+            "vis": train_vis(x, outputs, labels),
         }
 
     return step_fn

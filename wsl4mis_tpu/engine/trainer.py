@@ -90,6 +90,7 @@ class Trainer:
         self.val_every = _round(cfg.val_every)
         self.ckpt_every = _round(cfg.ckpt_every)
         self.log_every = _round(cfg.log_every)
+        self.image_every = _round(20)  # train_fully_supervised_2D.py:121
         self.data_iter = prefetch(bundle.data_iter, size=4 * self.multi)
         self.predictor = bundle.predictor or VolumePredictor(
             bundle.model, cfg.patch_size
@@ -132,6 +133,20 @@ class Trainer:
         if self.writer is not None:
             self.writer.add_scalar(tag, float(value), step)
 
+    def _images(self, vis, step):
+        """train/Image|Prediction|GroundTruth triptych
+        (train_fully_supervised_2D.py:121-130)."""
+        if self.writer is None or vis is None:
+            return
+        image = np.asarray(vis["image"], np.float32)
+        lo, hi = image.min(), image.max()
+        image = (image - lo) / max(hi - lo, 1e-12)
+        self.writer.add_image("train/Image", image[None], step)
+        pred = (np.asarray(vis["pred"]) * 50).astype(np.uint8)
+        self.writer.add_image("train/Prediction", pred[None], step)
+        lab = (np.asarray(vis["label"]) * 50).astype(np.uint8)
+        self.writer.add_image("train/GroundTruth", lab[None], step)
+
     def _lr(self, iter_num):
         cfg = self.cfg
         return cfg.base_lr * (1.0 - iter_num / cfg.max_iterations) ** 0.9
@@ -144,17 +159,19 @@ class Trainer:
                 "params": self.state.params,
                 "batch_stats": self.state.batch_stats,
             }
+        nan_aware = self.bundle.nan_val_metrics
         metric_list = evaluate_fold(
             self.predictor, variables, self.bundle.val_volumes,
-            self.cfg.num_classes,
+            self.cfg.num_classes, nan_aware=nan_aware,
         )
         for class_i in range(self.cfg.num_classes - 1):
             self._scalar(f"info/val_{class_i + 1}_dice",
                          metric_list[class_i, 0], iter_num)
             self._scalar(f"info/val_{class_i + 1}_hd95",
                          metric_list[class_i, 1], iter_num)
-        performance = float(np.mean(metric_list, axis=0)[0])
-        mean_hd95 = float(np.mean(metric_list, axis=0)[1])
+        mean = np.nanmean if nan_aware else np.mean
+        performance = float(mean(metric_list, axis=0)[0])
+        mean_hd95 = float(mean(metric_list, axis=0)[1])
         self._scalar("info/val_mean_dice", performance, iter_num)
         self._scalar("info/val_mean_hd95", mean_hd95, iter_num)
         return performance, mean_hd95
@@ -193,8 +210,13 @@ class Trainer:
                 jax.profiler.stop_trace()
                 logging.info("profiler trace written to %s", profile_dir)
 
+            if iter_num % self.image_every == 0:
+                self._images(metrics.get("vis"), iter_num)
+
             if iter_num % self.log_every == 0:
-                host_metrics = {k: float(v) for k, v in metrics.items()}
+                host_metrics = {
+                    k: float(v) for k, v in metrics.items() if k != "vis"
+                }
                 lr = self._lr(iter_num)
                 self._scalar("info/lr", lr, iter_num)
                 for k, v in host_metrics.items():
@@ -208,6 +230,16 @@ class Trainer:
 
             if iter_num > 0 and iter_num % self.val_every == 0:
                 performance, mean_hd95 = self.validate(iter_num)
+                thresh = self.bundle.dice_snapshot_threshold
+                if thresh is not None and performance > thresh:
+                    # high-dice snapshot (train_ACDC_scribblevc.py:292-295)
+                    save_model_checkpoint(
+                        os.path.join(
+                            self.snapshot_path,
+                            f"{cfg.model}_{str(performance)[0:6]}_model.pth",
+                        ),
+                        self.state,
+                    )
                 if performance > best_performance:
                     best_performance = performance
                     save_model_checkpoint(

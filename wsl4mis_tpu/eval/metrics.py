@@ -84,6 +84,24 @@ def calculate_metric_percase(pred: np.ndarray, gt: np.ndarray):
     return 0.0, 0.0
 
 
+def calculate_metric_percase_nan(pred: np.ndarray, gt: np.ndarray):
+    """(dice, hd95) with the ScribbleVC NaN conventions
+    (val_2D_scribblevc.py:15-28): a class absent from both gt and pred
+    scores (nan, nan) so nanmean aggregation skips it; gt-absent but
+    predicted scores (0, 0); present-but-missed keeps its dice with a NaN
+    hd95 (no surface to measure)."""
+    pred = (pred > 0)
+    gt = (gt > 0)
+    if gt.sum() == 0 and pred.sum() == 0:
+        return np.nan, np.nan
+    if gt.sum() == 0:
+        return 0.0, 0.0
+    dice = dice_coefficient(pred, gt)
+    if pred.sum() == 0:
+        return dice, np.nan
+    return dice, hd95(pred, gt)
+
+
 def calculate_metric_percase_spacing(pred, gt, spacing):
     """(dice, hd95, asd) with native voxel spacing (test_2D_fully.py:74-80)."""
     pred = (pred > 0)

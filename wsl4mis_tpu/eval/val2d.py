@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.acdc import _nearest_zoom2d
-from .metrics import calculate_metric_percase
+from .metrics import calculate_metric_percase, calculate_metric_percase_nan
 
 
 def _zoom_stack(volume: np.ndarray, out_hw) -> np.ndarray:
@@ -106,26 +106,34 @@ class VolumePredictor:
         return pred.astype(np.int32)
 
 
-def test_single_volume(image, label, predictor, variables, classes: int):
+def test_single_volume(image, label, predictor, variables, classes: int,
+                       metric_fn=calculate_metric_percase):
     """Per-class [dice, hd95] for one volume (val_2D.py:18-50 parity)."""
     prediction = predictor.predict_volume(variables, np.asarray(image))
     label = np.asarray(label)
-    return [
-        calculate_metric_percase(prediction == i, label == i)
-        for i in range(1, classes)
-    ]
+    return [metric_fn(prediction == i, label == i) for i in range(1, classes)]
 
 
-def evaluate_fold(predictor, variables, volumes, classes: int) -> np.ndarray:
+def evaluate_fold(predictor, variables, volumes, classes: int,
+                  nan_aware: bool = False) -> np.ndarray:
     """Mean (classes-1, 2) [dice, hd95] over a volume dataset.
 
     Matches the train-loop validation block
-    (train_fully_supervised_2D.py:132-150).
+    (train_fully_supervised_2D.py:132-150). With ``nan_aware`` the
+    ScribbleVC conventions apply: absent classes score NaN per volume and
+    the aggregation is a NaN-mean (train_ACDC_scribblevc.py:273-288).
     """
-    total = np.zeros((classes - 1, 2), np.float64)
-    for vol in volumes:
-        metric_i = test_single_volume(
-            vol["image"], vol["label"], predictor, variables, classes
+    metric_fn = calculate_metric_percase_nan if nan_aware else (
+        calculate_metric_percase)
+    per_volume = [
+        test_single_volume(
+            vol["image"], vol["label"], predictor, variables, classes,
+            metric_fn=metric_fn,
         )
-        total += np.asarray(metric_i)
-    return total / len(volumes)
+        for vol in volumes
+    ]
+    arr = np.asarray(per_volume, np.float64)
+    if nan_aware:
+        with np.errstate(invalid="ignore"):
+            return np.nanmean(arr, axis=0)
+    return arr.mean(axis=0)
