@@ -152,6 +152,137 @@ def test_gated_crf_vs_unfold_oracle(rng):
     assert abs(ours - float(loss_ref)) < 1e-4
 
 
+def _torch_gcrf_oracle(probs, img, radius, mask_src=None, mask_dst=None,
+                       compatibility=None):
+    """Direct torch-unfold Gated CRF with the full reference surface
+    (gate_crf_loss.py:66-121)."""
+    b, h, w, c = probs.shape
+    tp = _t(np.asarray(probs)).double()
+    timg = _t(img).double()
+    xs = torch.arange(w, dtype=torch.float64).view(1, 1, 1, w).expand(b, 1, h, w)
+    ys = torch.arange(h, dtype=torch.float64).view(1, 1, h, 1).expand(b, 1, h, w)
+    feats = torch.cat([xs / 6.0, ys / 6.0, timg / 0.1], dim=1)
+    d = 2 * radius + 1
+
+    def unfold(x):
+        n, ch = x.shape[:2]
+        return F.unfold(x, d, 1, radius).view(n, ch, d, d, h, w)
+
+    fu = unfold(feats)
+    diff = fu - feats.view(b, 3, 1, 1, h, w)
+    kern = torch.exp(-0.5 * (diff ** 2).sum(1, keepdim=True))
+    kern[:, :, radius, radius] = 0
+
+    denom = b * h * w
+    if mask_src is not None:
+        ms = _t(mask_src).double()
+        ms[ms != ms] = 0.0
+        ms[ms < 1.0] = 0.0
+        denom = ms.sum().clamp(min=1)
+        kern = kern * unfold(ms)
+    if mask_dst is not None:
+        md = _t(mask_dst).double()
+        md[md != md] = 0.0
+        md[md < 1.0] = 0.0
+        denom = md.sum().clamp(min=1)
+        kern = kern * md.view(b, 1, 1, 1, h, w)
+
+    pu = unfold(tp)
+    prod = (kern * pu).view(b, c, d * d, h, w).sum(2)
+    if compatibility is None:
+        loss = kern.sum() - (prod * tp).sum()
+    else:
+        compat = torch.as_tensor(compatibility, dtype=torch.float64)
+        compat = (c - 1) * F.normalize(compat, p=1, dim=1)
+        y_cn = tp.permute(1, 0, 2, 3).reshape(c, -1)
+        prod_nc = prod.permute(0, 2, 3, 1).reshape(-1, c)
+        loss = (compat * (y_cn @ prod_nc)).sum()
+    return float(loss / denom)
+
+
+def test_gated_crf_masks_vs_oracle(rng):
+    """mask_src/mask_dst parity (gate_crf_loss.py:66-88)."""
+    b, h, w, c = 2, 12, 12, 3
+    radius = 2
+    probs = jax.nn.softmax(
+        jnp.asarray(rng.randn(b, h, w, c).astype(np.float32)), -1
+    )
+    img = rng.rand(b, h, w, 1).astype(np.float32)
+    # masks with NaNs, soft values (<1), and hard 1s
+    mask_src = rng.choice([0.0, 0.5, 1.0, np.nan], size=(b, h, w, 1)).astype(
+        np.float32
+    )
+    mask_dst = rng.choice([0.0, 1.0], size=(b, h, w, 1)).astype(np.float32)
+
+    ours_src = float(
+        gated_crf_loss(probs, jnp.asarray(img), radius=radius,
+                       mask_src=jnp.asarray(mask_src))
+    )
+    ref_src = _torch_gcrf_oracle(probs, img, radius, mask_src=mask_src)
+    assert abs(ours_src - ref_src) < 1e-4
+
+    ours_both = float(
+        gated_crf_loss(probs, jnp.asarray(img), radius=radius,
+                       mask_src=jnp.asarray(mask_src),
+                       mask_dst=jnp.asarray(mask_dst))
+    )
+    ref_both = _torch_gcrf_oracle(
+        probs, img, radius, mask_src=mask_src, mask_dst=mask_dst
+    )
+    assert abs(ours_both - ref_both) < 1e-4
+
+
+def test_gated_crf_compatibility_vs_oracle(rng):
+    """Non-Potts compatibility-matrix path (gate_crf_loss.py:106-118)."""
+    b, h, w, c = 2, 10, 10, 3
+    radius = 2
+    probs = jax.nn.softmax(
+        jnp.asarray(rng.randn(b, h, w, c).astype(np.float32)), -1
+    )
+    img = rng.rand(b, h, w, 1).astype(np.float32)
+    compat = np.array(
+        [[0.0, 1.0, 2.0], [1.0, 0.0, 0.5], [2.0, 0.5, 0.0]], np.float32
+    )
+    ours = float(
+        gated_crf_loss(probs, jnp.asarray(img), radius=radius,
+                       compatibility=compat)
+    )
+    ref = _torch_gcrf_oracle(probs, img, radius, compatibility=compat)
+    assert abs(ours - ref) / (abs(ref) + 1e-9) < 1e-4
+
+
+def test_gated_crf_modality_downsampling(rng):
+    """Over-resolution modality is area-pooled to prediction resolution
+    (gate_crf_loss.py:126-131); a custom downsampler overrides it."""
+    b, h, w, c = 1, 8, 8, 2
+    probs = jax.nn.softmax(
+        jnp.asarray(rng.randn(b, h, w, c).astype(np.float32)), -1
+    )
+    img_hi = rng.rand(b, 2 * h, 2 * w, 1).astype(np.float32)
+    img_area = np.asarray(
+        torch.nn.functional.adaptive_avg_pool2d(_t(img_hi), (h, w))
+    ).transpose(0, 2, 3, 1)
+    ours_hi = float(gated_crf_loss(probs, jnp.asarray(img_hi), radius=2))
+    ours_lo = float(gated_crf_loss(probs, jnp.asarray(img_area), radius=2))
+    assert abs(ours_hi - ours_lo) < 1e-6
+
+    def take_topleft(x, hw):
+        fh = x.shape[1] // hw[0]
+        fw = x.shape[2] // hw[1]
+        return x[:, ::fh, ::fw, :]
+
+    ours_custom = float(
+        gated_crf_loss(
+            probs, jnp.asarray(img_hi), radius=2,
+            custom_modality_downsamplers={"rgb": take_topleft},
+        )
+    )
+    ours_strided = float(
+        gated_crf_loss(probs, jnp.asarray(img_hi[:, ::2, ::2, :]), radius=2)
+    )
+    assert abs(ours_custom - ours_strided) < 1e-6
+
+
 def test_intensity_variance(rng):
     from wsl4mis_tpu.engine.methods.pce_regularized import (
         _inter_class_variance,

@@ -35,7 +35,7 @@ from ..gated_crf import DEFAULT_KERNELS_DESC, _features
 
 
 def _gcrf_kernel(fpad_ref, ppad_ref, prod_ref, ksum_ref, *, radius, h, w,
-                 nf, nc, weight):
+                 nf_splits, nc, weights):
     d = 2 * radius + 1
 
     # Mosaic needs statically-analyzable sublane/lane offsets, so the
@@ -43,37 +43,44 @@ def _gcrf_kernel(fpad_ref, ppad_ref, prod_ref, ksum_ref, *, radius, h, w,
     # Accumulation goes through the output refs (not SSA values) so the
     # live set per unrolled step stays at a couple of (h, w) planes —
     # value accumulators made the scoped-VMEM stack explode.
+    # The kernel composition is a static unroll over the descriptor list:
+    # k = sum_d w_d * exp(-0.5 * ||f_d(p+o) - f_d(p)||^2), each descriptor's
+    # feature planes occupying a contiguous slice of the stacked features.
     prod_ref[...] = jnp.zeros_like(prod_ref)
     ksum_ref[0, 0, 0] = 0.0
     for dy in range(d):
         for dx in range(d):
             if dy == radius and dx == radius:
                 continue
-            sq = jnp.zeros((h, w), jnp.float32)
-            for c in range(nf):
-                diff = (
-                    fpad_ref[0, c, dy:dy + h, dx:dx + w]
-                    - fpad_ref[0, c, radius:radius + h, radius:radius + w]
-                )
-                sq += diff * diff
-            kern = weight * jnp.exp(-0.5 * sq)
+            kern = jnp.zeros((h, w), jnp.float32)
+            base = 0
+            for wgt, nf in zip(weights, nf_splits):
+                sq = jnp.zeros((h, w), jnp.float32)
+                for c in range(base, base + nf):
+                    diff = (
+                        fpad_ref[0, c, dy:dy + h, dx:dx + w]
+                        - fpad_ref[0, c, radius:radius + h, radius:radius + w]
+                    )
+                    sq += diff * diff
+                kern += wgt * jnp.exp(-0.5 * sq)
+                base += nf
             for c in range(nc):
                 prod_ref[0, c] += kern * ppad_ref[0, c, dy:dy + h, dx:dx + w]
             ksum_ref[0, 0, 0] += jnp.sum(kern)
 
 
-def _gcrf_products(probs_chw, feats_chw, radius: int, weight: float,
+def _gcrf_products(probs_chw, feats_chw, radius: int, weights, nf_splits,
                    interpret: bool = False):
-    """probs_chw: (B, C, H, W); feats_chw: (B, F, H, W) — returns
+    """probs_chw: (B, C, H, W); feats_chw: (B, sum(nf), H, W) — returns
     (prod (B, C, H, W), ksum (B, 1, 1))."""
     b, nc, h, w = probs_chw.shape
-    nf = feats_chw.shape[1]
     r = radius
     fpad = jnp.pad(feats_chw, ((0, 0), (0, 0), (r, r), (r, r)))
     ppad = jnp.pad(probs_chw, ((0, 0), (0, 0), (r, r), (r, r)))
 
     kernel = functools.partial(
-        _gcrf_kernel, radius=r, h=h, w=w, nf=nf, nc=nc, weight=weight
+        _gcrf_kernel, radius=r, h=h, w=w, nf_splits=tuple(nf_splits), nc=nc,
+        weights=tuple(weights),
     )
     prod, ksum = pl.pallas_call(
         kernel,
@@ -98,15 +105,28 @@ def _gcrf_products(probs_chw, feats_chw, radius: int, weight: float,
     return prod, ksum
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def gated_crf_loss_pallas(probs, image, radius: int = 5,
-                          interpret: bool = False):
-    """Drop-in replacement for ops.gated_crf.gated_crf_loss with the default
-    single {weight: 1, xy: 6, rgb: 0.1} kernel descriptor.
+                          interpret: bool = False,
+                          kernels_desc=DEFAULT_KERNELS_DESC):
+    """Drop-in replacement for ops.gated_crf.gated_crf_loss for arbitrary
+    kernel descriptor lists (gate_crf_loss.py:27-38): each descriptor
+    contributes w_d * exp(-0.5 ||Δf_d||²) to the composite kernel, unrolled
+    statically inside the Pallas program. mask/compatibility variants route
+    to the XLA implementation (select_gated_crf) — their kernel operator is
+    no longer symmetric, which this kernel's analytic VJP exploits.
 
     probs: (B, H, W, C) softmax; image: (B, H, W, Ci).
     """
-    loss, _ = _fwd(probs, image, radius, interpret)
+    desc_key = tuple(
+        tuple(sorted((k, float(v)) for k, v in d.items()))
+        for d in kernels_desc
+    )
+    return _gated_crf_pallas(probs, image, radius, interpret, desc_key)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _gated_crf_pallas(probs, image, radius, interpret, desc_key):
+    loss, _ = _fwd(probs, image, radius, interpret, desc_key)
     return loss
 
 
@@ -115,24 +135,29 @@ def _loss_from_products(probs_chw, prod, ksum):
     return (jnp.sum(ksum) - jnp.sum(prod * probs_chw)) / (b * h * w)
 
 
-def _fwd(probs, image, radius, interpret):
-    desc = DEFAULT_KERNELS_DESC[0]
-    weight = float(desc["weight"])
+def _fwd(probs, image, radius, interpret, desc_key):
+    descs = [dict(items) for items in desc_key]
     b, h, w, _ = probs.shape
-    feats = _features(image, desc, h, w)
+    weights, nf_splits, feat_stacks = [], [], []
+    for desc in descs:
+        f = _features(image, desc, h, w)
+        weights.append(float(desc["weight"]))
+        nf_splits.append(f.shape[-1])
+        feat_stacks.append(f)
+    feats = jnp.concatenate(feat_stacks, axis=-1)
     probs_chw = jnp.transpose(probs.astype(jnp.float32), (0, 3, 1, 2))
     feats_chw = jnp.transpose(feats, (0, 3, 1, 2))
-    prod, ksum = _gcrf_products(probs_chw, feats_chw, radius, weight,
-                                interpret)
+    prod, ksum = _gcrf_products(probs_chw, feats_chw, radius, weights,
+                                nf_splits, interpret)
     loss = _loss_from_products(probs_chw, prod, ksum)
     return loss, (prod, b, h, w)
 
 
-def _bwd(radius, interpret, res, g):
+def _bwd(radius, interpret, desc_key, res, g):
     prod, b, h, w = res
     grad_chw = (-2.0 * g / (b * h * w)) * prod
     grad_probs = jnp.transpose(grad_chw, (0, 2, 3, 1))
     return grad_probs, None
 
 
-gated_crf_loss_pallas.defvjp(_fwd, _bwd)
+_gated_crf_pallas.defvjp(_fwd, _bwd)
