@@ -25,27 +25,111 @@ def test_shard_batch_rejects_indivisible():
         shard_batch(mesh, {"image": np.zeros((6, 4, 4), np.float32)})
 
 
-def test_data_parallel_step_matches_single_device():
-    """The sharded step must compute the same update as single-device."""
-    cfg = TrainConfig(
-        method="fully_supervised", sup_type="label", batch_size=8,
-        patch_size=(64, 64), compute_dtype="float32", data_limit=16,
+# Every runnable method must compute the same update on the 8-device mesh
+# as on a single device (pce_random_walker shares fully_supervised's step
+# and needs prepared data — covered by its own fixture test).
+FAST_METHODS = [
+    "fully_supervised",
+    "pce",
+    "pce_tv",
+    "pce_entropy_mini",
+    "pce_mumford_shah",
+    "pce_intensity_variance",
+    "dmpls",
+    "mean_teacher",
+    "entropy_minimization",
+    "partially_supervised",
+    "s2l",
+]
+SLOW_METHODS = ["pce_gatedcrf", "ustm", "uamt", "deep_adversarial",
+                "scribblevc"]
+
+
+def _cfg(method):
+    sup = (
+        "scribble"
+        if method.startswith(("pce", "dmpls", "ustm", "s2l", "scribblevc"))
+        else "label"
     )
-    bundle = get_method("fully_supervised").build(cfg)
+    return TrainConfig(
+        method=method,
+        sup_type=sup,
+        batch_size=8,
+        labeled_bs=4,
+        max_iterations=2,
+        patch_size=(64, 64),
+        compute_dtype="float32",
+        data_limit=16,
+        thr_iter=0,
+    )
+
+
+def _tree_allclose(t1, t2, atol):
+    l1 = jax.tree.leaves(jax.tree.map(np.asarray, t1))
+    l2 = jax.tree.leaves(jax.tree.map(np.asarray, t2))
+    assert len(l1) == len(l2)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(a, b, atol=atol)
+
+
+def _run_parity(method):
+    """Single-device step vs 8-device sharded step: params, extra state,
+    and loss must agree to float tolerance."""
+    cfg = _cfg(method)
+    bundle = get_method(method).build(cfg)
     batch = next(bundle.data_iter)
     rng = jax.random.key(0)
 
     state1, m1 = jax.jit(bundle.step_fn)(bundle.state, batch, rng, bundle.aux)
 
     mesh = make_mesh()
-    bundle2 = get_method("fully_supervised").build(cfg)
+    bundle2 = get_method(method).build(cfg)
     state_r = replicate_tree(mesh, bundle2.state)
     sharded = shard_batch(mesh, batch)
-    aux_r = jax.device_put(bundle2.aux) if bundle2.aux is not None else None
+    aux_r = (
+        replicate_tree(mesh, bundle2.aux) if bundle2.aux is not None else None
+    )
     state2, m2 = jax.jit(bundle2.step_fn)(state_r, sharded, rng, aux_r)
 
     assert abs(float(m1["total_loss"]) - float(m2["total_loss"])) < 1e-5
-    p1 = jax.tree.leaves(jax.tree.map(np.asarray, state1.params))
-    p2 = jax.tree.leaves(jax.tree.map(np.asarray, state2.params))
-    for a, b in zip(p1, p2):
-        np.testing.assert_allclose(a, b, atol=1e-5)
+    # atol 1e-4: sharded reductions reassociate f32 sums; observed drift is
+    # ~1e-5 on a handful of weights — far below any real divergence.
+    _tree_allclose(state1.params, state2.params, atol=1e-4)
+    if state1.extra is not None:
+        _tree_allclose(state1.extra, state2.extra, atol=1e-4)
+    return bundle2, state2, mesh
+
+
+@pytest.mark.parametrize("method", FAST_METHODS)
+def test_data_parallel_step_matches_single_device(method):
+    _run_parity(method)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("method", SLOW_METHODS)
+def test_data_parallel_step_matches_single_device_slow(method):
+    _run_parity(method)
+
+
+def test_s2l_refresh_on_mesh():
+    """S2L's full-set EMA refresh sweep must run against a replicated state
+    on the mesh (regression: xs staging was single-device placement)."""
+    from wsl4mis_tpu.engine.methods.s2l import make_refresh
+    from wsl4mis_tpu.data.acdc import AcdcSliceDataset
+
+    cfg = _cfg("s2l")
+    bundle = get_method("s2l").build(cfg)
+    mesh = make_mesh()
+    state_r = replicate_tree(mesh, bundle.state)
+
+    train = AcdcSliceDataset(
+        base_dir=cfg.root_path, fold=cfg.fold, sup_type="scribble",
+        patch_size=cfg.patch_size, limit=cfg.data_limit,
+    )
+    refresh_single = make_refresh(cfg, train.images, refresh_bs=8)
+    refresh_mesh = make_refresh(cfg, train.images, refresh_bs=8)
+
+    out1 = refresh_single(bundle.state)
+    out2 = refresh_mesh(state_r)
+    _tree_allclose(out1.extra, out2.extra, atol=1e-6)
+    assert float(np.abs(np.asarray(out2.extra["weight"])).max()) > 0
