@@ -74,6 +74,7 @@ def _gcrf_products(probs_chw, feats_chw, radius: int, weights, nf_splits,
     """probs_chw: (B, C, H, W); feats_chw: (B, sum(nf), H, W) — returns
     (prod (B, C, H, W), ksum (B, 1, 1))."""
     b, nc, h, w = probs_chw.shape
+    nf = feats_chw.shape[1]
     r = radius
     fpad = jnp.pad(feats_chw, ((0, 0), (0, 0), (r, r), (r, r)))
     ppad = jnp.pad(probs_chw, ((0, 0), (0, 0), (r, r), (r, r)))
