@@ -21,8 +21,8 @@ FAST_METHODS = [
     "s2l",
 ]
 SLOW_METHODS = ["pce_gatedcrf", "ustm", "uamt", "deep_adversarial", "scribblevc"]
-# needs generated random-walker pseudo-label data (data prep tool)
-DATA_GATED_METHODS = ["pce_random_walker"]
+# runs the random-walker data prep into a tmp tree first (own test below)
+DATA_PREP_METHODS = ["pce_random_walker"]
 
 
 def _cfg(method):
@@ -81,6 +81,35 @@ def test_params_change():
 
 
 def test_registry_covers_all():
-    assert set(FAST_METHODS + SLOW_METHODS + DATA_GATED_METHODS) == set(
+    assert set(FAST_METHODS + SLOW_METHODS + DATA_PREP_METHODS) == set(
         available_methods()
     )
+
+
+def test_one_step_random_walker(tmp_path_factory, acdc_root):
+    """End-to-end pce_random_walker: run the RW data prep on a few bundled
+    slices into a tmp H5 tree, then train one step on the pseudo labels
+    (reference acdc_pseudo_label_random_walker.py:44-59 +
+    train_weakly_supervised_pCE_random_walker_2D.py)."""
+    from wsl4mis_tpu.data.random_walker import prepare_random_walker_tree
+
+    out = str(tmp_path_factory.mktemp("acdc_rw"))
+    # patient021 is in fold1's train split (fold1 holds out patients 1-20).
+    n = prepare_random_walker_tree(acdc_root, out, limit=6,
+                                   cases=["patient021"])
+    assert n == 6
+    # one fold1 val volume (patient001), no slices needed for it
+    prepare_random_walker_tree(acdc_root, out, limit=0,
+                               cases=["patient001"])
+
+    cfg = _cfg("pce_random_walker").replace(
+        sup_type="random_walker", root_path=out, data_limit=6,
+    )
+    bundle = get_method("pce_random_walker").build(cfg)
+    assert bundle.val_volumes.cases  # patient001 volume found
+    step = jax.jit(bundle.step_fn)
+    state = bundle.state
+    for i in range(2):
+        batch = next(bundle.data_iter)
+        state, metrics = step(state, batch, jax.random.key(i), bundle.aux)
+        assert np.isfinite(float(metrics["total_loss"]))

@@ -167,3 +167,28 @@ def augment_batch(rng: jax.Array, images: jnp.ndarray, labels: jnp.ndarray):
     b = images.shape[0]
     keys = jax.random.split(rng, b)
     return jax.vmap(_augment_one)(keys, images, labels)
+
+
+def select_augment(prefer_pallas: str | None = None):
+    """Pick the batch-augmentation implementation.
+
+    On TPU the per-element gather of the exact nearest rotate costs more
+    than the U-Net fwd+bwd convolutions; the Pallas kernel
+    (ops/pallas/augment_pallas.py) rebuilds the same policy gather-free in
+    VMEM (3-shear rotate). Same PRNG-key -> same transform selection in
+    both. Override with WSL4MIS_AUG_IMPL=pallas|xla|auto.
+    """
+    import os
+
+    pref = prefer_pallas or os.environ.get("WSL4MIS_AUG_IMPL", "auto")
+    if pref == "xla":
+        return augment_batch
+    try:
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover - backend probe
+        on_tpu = False
+    if pref == "pallas" or (pref == "auto" and on_tpu):
+        from ..ops.pallas.augment_pallas import augment_batch_pallas
+
+        return augment_batch_pallas
+    return augment_batch

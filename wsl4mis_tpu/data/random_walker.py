@@ -14,6 +14,8 @@ sparse factorization.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from scipy import sparse
 from scipy.sparse.linalg import spsolve
@@ -153,4 +155,78 @@ def generate_pseudo_label_volumes(base_dir: str, out_key: str = "random_walker",
             f.create_dataset(out_key, data=pseudo.astype(np.uint8),
                              compression="gzip")
         n += 1
+    return n
+
+
+def prepare_random_walker_tree(src: str, out: str, *,
+                               limit: int | None = None,
+                               cases: list[str] | None = None) -> int:
+    """Build a writable ACDC copy at ``out`` with ``random_walker`` keys.
+
+    Equivalent of the reference's offline pseudo-label pass
+    (acdc_pseudo_label_random_walker.py:44-59) over the H5 tree: copies
+    slice/volume files from ``src`` (optionally only ``cases`` patients
+    and/or the first ``limit`` slice files) and adds a ``random_walker``
+    dataset to each. Volume files get the per-slice stack when every slice
+    of the case was processed. Returns the number of slices solved.
+    """
+    import glob
+    import shutil
+
+    import h5py
+
+    def _wanted(name: str) -> bool:
+        return cases is None or name.split("_")[0] in set(cases)
+
+    for sub in ("ACDC_training_slices", "ACDC_training_volumes"):
+        src_sub = os.path.join(src, sub)
+        out_sub = os.path.join(out, sub)
+        os.makedirs(out_sub, exist_ok=True)
+        names = sorted(f for f in os.listdir(src_sub) if _wanted(f))
+        if sub.endswith("slices") and limit is not None:
+            names = names[:limit]
+        for name in names:
+            dst = os.path.join(out_sub, name)
+            if not os.path.exists(dst):
+                shutil.copy(os.path.join(src_sub, name), dst)
+
+    n = 0
+    slice_files = sorted(
+        glob.glob(os.path.join(out, "ACDC_training_slices", "*.h5"))
+    )
+    for path in slice_files:
+        with h5py.File(path, "r+") as f:
+            if out_key_missing := ("random_walker" not in f):
+                img = f["image"][:]
+                scr = f["scribble"][:].astype(np.int32)
+                pseudo = pseudo_label_generator_acdc(img, scr)
+                f.create_dataset("random_walker",
+                                 data=pseudo.astype(np.uint8),
+                                 compression="gzip")
+        n += out_key_missing
+
+    vol_files = sorted(
+        glob.glob(os.path.join(out, "ACDC_training_volumes", "*.h5"))
+    )
+    for path in vol_files:
+        case = os.path.basename(path).replace(".h5", "")
+        with h5py.File(path, "r+") as f:
+            if "random_walker" in f:
+                continue
+            stack = []
+            for ind in range(f["image"].shape[0]):
+                sp = os.path.join(
+                    out, "ACDC_training_slices", f"{case}_slice_{ind}.h5"
+                )
+                if not os.path.exists(sp):
+                    stack = None
+                    break
+                with h5py.File(sp, "r") as sf:
+                    if "random_walker" not in sf:
+                        stack = None
+                        break
+                    stack.append(sf["random_walker"][:])
+            if stack is not None:
+                f.create_dataset("random_walker", data=np.stack(stack),
+                                 compression="gzip")
     return n

@@ -56,6 +56,11 @@ class TrainConfig:
                                         # "host" (exact reference semantics:
                                         # aug at native res, then zoom)
     debug_nans: bool = False            # jax_debug_nans (SURVEY §5.2)
+    fast_prng: bool = True              # 'rbg' impl for the step PRNG key:
+                                        # much cheaper random bits on TPU
+                                        # (dropout masks dominate otherwise).
+                                        # Still keyed+deterministic; stream
+                                        # differs from threefry.
     steps_per_call: int = 1             # lax.scan K train steps inside one
                                         # device call (amortizes dispatch
                                         # latency; val/ckpt/log cadences are

@@ -138,6 +138,20 @@ def stage_dataset(cfg: TrainConfig, train: AcdcSliceDataset):
     }
 
 
+_AUGMENT_FN = None
+
+
+def _augment_impl():
+    """Backend-selected batch augmentation (Pallas on TPU, XLA elsewhere),
+    resolved once at first use so jax.devices() is only probed lazily."""
+    global _AUGMENT_FN
+    if _AUGMENT_FN is None:
+        from ...data.augment_device import select_augment
+
+        _AUGMENT_FN = select_augment()
+    return _AUGMENT_FN
+
+
 def prep_batch(rng, batch, staged=None, augment: bool = True):
     """On-device augmentation + NHWC expansion. Returns (x, labels).
 
@@ -152,7 +166,7 @@ def prep_batch(rng, batch, staged=None, augment: bool = True):
     else:
         images, labels = batch["image"], batch["label"]
     if augment:
-        images, labels = augment_batch(rng, images, labels)
+        images, labels = _augment_impl()(rng, images, labels)
     return images[..., None], labels
 
 

@@ -95,7 +95,9 @@ class Trainer:
         self.predictor = bundle.predictor or VolumePredictor(
             bundle.model, cfg.patch_size
         )
-        self.base_rng = jax.random.key(cfg.seed)
+        self.base_rng = jax.random.key(
+            cfg.seed, impl="rbg" if cfg.fast_prng else None
+        )
 
         self.writer = None
         if use_tensorboard:

@@ -103,8 +103,16 @@ class ConvBlock(nn.Module):
             dtype=jnp.float32,
         )(x)
         x = nn.leaky_relu(x, negative_slope=0.01).astype(self.dtype)
-        if self.dropout_p > 0:
-            x = nn.Dropout(rate=self.dropout_p, deterministic=not train)(x)
+        if self.dropout_p > 0 and train:
+            # Inline dropout in compute dtype: nn.Dropout's where(mask,
+            # x/keep, 0) materialized extra full-resolution passes, which
+            # on TPU cost more than the convs it sits between. A bf16
+            # mask-multiply (mask is exact in bf16) fuses into neighbors.
+            keep = 1.0 - self.dropout_p
+            mask = jax.random.bernoulli(
+                self.make_rng("dropout"), keep, x.shape
+            )
+            x = x * (mask.astype(self.dtype) * jnp.asarray(1.0 / keep, self.dtype))
         x = TorchConv(self.features, dtype=self.dtype)(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
