@@ -13,7 +13,7 @@ def _param_count(tree):
 @pytest.mark.parametrize(
     "name,n_out",
     [("unet", 1), ("unet_cct", 2), ("unet_cct_3h", 3), ("unet_ds", 4),
-     ("pnet", 1), ("efficient_unet", 1)],
+     ("unet_urds", 4), ("pnet", 1), ("efficient_unet", 1)],
 )
 def test_factory_shapes(name, n_out):
     model = net_factory(name, class_num=4, dtype=jnp.float32)

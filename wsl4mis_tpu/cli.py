@@ -57,6 +57,14 @@ def build_parser(defaults: dict) -> argparse.ArgumentParser:
     add("--resume", action="store_true")
     add("--profile_steps", type=int, default=0)
     add("--data_limit", type=int, default=None)
+    add("--aug_mode", type=str, default="device", choices=["device", "host"],
+        help="device: in-step augmentation; host: exact reference "
+             "augment-then-zoom semantics on the host")
+    add("--device_data", type=int, default=1,
+        help="1: stage the dataset in device HBM (index batches); 0: ship "
+             "host image batches per step")
+    add("--fast_prng", type=int, default=1,
+        help="1: rbg step PRNG (TPU-fast); 0: threefry")
     return p
 
 
@@ -100,6 +108,9 @@ def config_from_args(args, method: str) -> TrainConfig:
         resume=args.resume,
         profile_steps=args.profile_steps,
         data_limit=args.data_limit,
+        aug_mode=args.aug_mode,
+        device_data=bool(args.device_data),
+        fast_prng=bool(args.fast_prng),
     )
 
 

@@ -111,12 +111,45 @@ def mscmr_fold_ids() -> tuple[list[str], list[str]]:
     return [fmt(i) for i in _MSCMR_TRAIN], [fmt(i) for i in _MSCMR_VAL]
 
 
+_PROSTATE_A_TEST = [61, 58, 22, 56, 44, 24, 40, 59, 53, 64, 65, 35, 30, 78,
+                    72, 80, 26, 68, 52, 74]
+
+
+def prostate_fold_ids(fold: str) -> tuple[list[str], list[str]]:
+    """Prostate ScribbleVC splits (dataset_scribblevc.py:78-116).
+
+    80 patients; ``prostate_fold1..4`` hold out 20-patient blocks;
+    ``prostate_a`` tests a fixed 20-patient set. Reference quirk kept: the
+    'a' train list excludes fold4's block rather than the 'a' test ids
+    (dataset_scribblevc.py:100-103).
+    """
+    fmt = "patient{:0>3}".format
+    all_cases = [fmt(i) for i in range(1, 81)]
+    sub = fold[len("prostate_"):]
+    if sub == "a":
+        f4 = {fmt(i) for i in range(61, 81)}
+        return [c for c in all_cases if c not in f4], [
+            fmt(i) for i in _PROSTATE_A_TEST
+        ]
+    m = re.match(r"^fold([1-4])$", sub)
+    if not m:
+        raise KeyError(
+            f"unknown prostate fold {fold!r}; expected prostate_fold1..4 "
+            "or prostate_a"
+        )
+    k = int(m.group(1))
+    testing = set(all_cases[20 * (k - 1): 20 * k])
+    return [c for c in all_cases if c not in testing], sorted(testing)
+
+
 def resolve_fold_ids(fold: str) -> tuple[list[str], list[str]]:
-    """fold1..5 (20-patient holdout), MAAGfold*, or MSCMRfold splits."""
+    """fold1..5 (20-patient holdout), MAAGfold*, MSCMRfold, or prostate_*."""
     if fold.startswith("MAAGfold"):
         return maag_fold_ids(fold)
     if fold == "MSCMRfold":
         return mscmr_fold_ids()
+    if fold.startswith("prostate_"):
+        return prostate_fold_ids(fold)
     return fold_ids(fold)
 
 
@@ -176,6 +209,11 @@ class AcdcSliceDataset:
     keep_native: bool = False
     limit: int | None = None  # cap slice count (fast tests/smoke runs)
     slices_dirname: str = "ACDC_training_slices"
+    rw_mode: str = "acdc"  # on-the-fly random-walker generator variant when
+                           # sup_type == "random_walker" has no precomputed
+                           # H5 key: "acdc" (acdc_pseudo_label_random_walker
+                           # .py:9-26) or "prostate" (dataset_scribblevc
+                           # .py:20-36)
 
     images: np.ndarray = field(init=False, repr=False)
     labels: np.ndarray = field(init=False, repr=False)
@@ -209,7 +247,20 @@ class AcdcSliceDataset:
         for name in names:
             with h5py.File(os.path.join(slices_dir, name), "r") as f:
                 img = f["image"][:].astype(np.float32)
-                lab = f[self.sup_type][:].astype(np.int32)
+                if self.sup_type == "random_walker" and self.sup_type not in f:
+                    # on-the-fly pseudo label from the scribble
+                    # (dataset_scribblevc.py:353-356)
+                    from .random_walker import (
+                        pseudo_label_generator_acdc,
+                        pseudo_label_generator_prostate,
+                    )
+
+                    gen = (pseudo_label_generator_prostate
+                           if self.rw_mode == "prostate"
+                           else pseudo_label_generator_acdc)
+                    lab = gen(img, f["scribble"][:].astype(np.int32))
+                else:
+                    lab = f[self.sup_type][:].astype(np.int32)
                 den = f["label"][:].astype(np.int32)
             imgs.append(_nearest_zoom2d(img, self.patch_size))
             labs.append(_nearest_zoom2d(lab, self.patch_size))

@@ -123,6 +123,27 @@ def pseudo_label_generator_acdc(data: np.ndarray, seed: np.ndarray,
     return (segmentation - 1).astype(seed.dtype)
 
 
+def pseudo_label_generator_prostate(data: np.ndarray, seed: np.ndarray,
+                                    beta: float = 100.0) -> np.ndarray:
+    """Scribble -> random-walker pseudo label, Prostate variant.
+
+    Parity (dataset_scribblevc.py:20-36): requires foreground classes 1 and
+    2 present (else all-zero); markers seeded for classes {0, 1, 2} with the
+    unknown class (4) unseeded; same intensity rescale as the ACDC variant.
+    """
+    present = np.unique(seed)
+    if 1 not in present or 2 not in present:
+        return np.zeros_like(seed)
+    markers = np.ones_like(seed)
+    markers[seed == 4] = 0
+    for c in range(3):
+        markers[seed == c] = c + 1
+    sigma = 0.35
+    scaled = _rescale_intensity(data, (-sigma, 1 + sigma), (-1, 1))
+    segmentation = random_walker(scaled, markers, beta=beta)
+    return (segmentation - 1).astype(seed.dtype)
+
+
 def generate_pseudo_label_volumes(base_dir: str, out_key: str = "random_walker",
                                   limit: int | None = None) -> int:
     """Add a `random_walker` dataset to every bundled H5 slice/volume file.

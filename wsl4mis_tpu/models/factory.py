@@ -17,19 +17,20 @@ import jax.numpy as jnp
 
 from .efficientunet import EffiUNet
 from .pnet import PNet2D
-from .unet import UNet, UNetCCT, UNetCCT3H, UNetDS
+from .unet import UNet, UNetCCT, UNetCCT3H, UNetDS, UNetURDS
 
 _REGISTRY = {
     "unet": UNet,
     "unet_cct": UNetCCT,
     "unet_cct_3h": UNetCCT3H,
     "unet_ds": UNetDS,
+    "unet_urds": UNetURDS,
     "pnet": PNet2D,
     "efficient_unet": EffiUNet,
 }
 
 # Model types whose forward pass needs a 'feature_perturb' rng when training.
-PERTURBED_MODELS = {"unet_cct", "unet_cct_3h", "pnet"}
+PERTURBED_MODELS = {"unet_cct", "unet_cct_3h", "unet_urds", "pnet"}
 
 # Number of outputs returned by each model's __call__ (1 = single logits).
 MODEL_NUM_OUTPUTS = {
@@ -37,6 +38,7 @@ MODEL_NUM_OUTPUTS = {
     "unet_cct": 2,
     "unet_cct_3h": 3,
     "unet_ds": 4,
+    "unet_urds": 4,
     "pnet": 1,
     "efficient_unet": 1,
 }

@@ -200,6 +200,48 @@ class DecoderDS(nn.Module):
         return dp0, dp1, dp2, dp3
 
 
+class DecoderURDS(nn.Module):
+    """Deep-supervision decoder with per-scale feature perturbations
+    (unet.py:191-256, URPC-style).
+
+    Training-only perturbations before the scale heads: channel dropout at
+    1/8 scale (the reference's functional ``Dropout`` is ``F.dropout2d``,
+    unet.py:255-257), attention feature-dropout at 1/4, multiplicative
+    feature noise at 1/2; heads nearest-resized to full resolution. The
+    reference never instantiates this decoder (dead code); it is provided
+    as a working model variant (``unet_urds``) with the evident semantics.
+    """
+
+    features: Sequence[int] = DEFAULT_FEATURES
+    num_classes: int = 4
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats, *, train: bool):
+        f = self.features
+        out_hw = feats[0].shape[1:3]
+
+        def head(x):
+            return TorchConv(self.num_classes, dtype=self.dtype)(x)
+
+        def up_to_full(z):
+            return jax.image.resize(
+                z, (z.shape[0], *out_hw, z.shape[-1]), method="nearest"
+            ).astype(jnp.float32)
+
+        if train:
+            k3, k2, k1 = jax.random.split(self.make_rng("feature_perturb"), 3)
+        x = UpBlock(f[3], f[3], self.dtype)(feats[4], feats[3], train=train)
+        dp3 = up_to_full(head(channel_dropout(k3, x) if train else x))
+        x = UpBlock(f[2], f[2], self.dtype)(x, feats[2], train=train)
+        dp2 = up_to_full(head(feature_dropout(k2, x) if train else x))
+        x = UpBlock(f[1], f[1], self.dtype)(x, feats[1], train=train)
+        dp1 = up_to_full(head(feature_noise(k1, x) if train else x))
+        x = UpBlock(f[0], f[0], self.dtype)(x, feats[0], train=train)
+        dp0 = head(x).astype(jnp.float32)
+        return dp0, dp1, dp2, dp3
+
+
 def channel_dropout(rng, x, rate: float = 0.5):
     """torch F.dropout2d: zero whole channels with prob `rate`, scale rest."""
     keep = jax.random.bernoulli(rng, 1.0 - rate, (x.shape[0], 1, 1, x.shape[-1]))
@@ -247,6 +289,22 @@ class UNetDS(nn.Module):
     def __call__(self, x, *, train: bool = False):
         feats = Encoder(self.features, self.dropout, self.dtype)(x, train=train)
         return DecoderDS(self.features, self.num_classes, self.dtype)(
+            feats, train=train
+        )
+
+
+class UNetURDS(nn.Module):
+    """Encoder + DecoderURDS (no reference consumer; see DecoderURDS)."""
+
+    num_classes: int = 4
+    features: Sequence[int] = DEFAULT_FEATURES
+    dropout: Sequence[float] = DEFAULT_DROPOUT
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        feats = Encoder(self.features, self.dropout, self.dtype)(x, train=train)
+        return DecoderURDS(self.features, self.num_classes, self.dtype)(
             feats, train=train
         )
 
