@@ -56,6 +56,28 @@ def timed(fn, *args):
     return best * 1e3
 
 
+def matmul_calibration(n: int = 4096, iters: int = 20):
+    """Achievable bf16 matmul FLOP/s through this backend (chains iters
+    matmuls in one jitted call so dispatch amortizes)."""
+    a = jnp.ones((n, n), jnp.bfloat16)
+    b = jnp.ones((n, n), jnp.bfloat16)
+
+    @jax.jit
+    def chain(a, b):
+        def body(x, _):
+            return jnp.dot(x, b, preferred_element_type=jnp.bfloat16), None
+
+        return jax.lax.scan(body, a, None, length=iters)[0]
+
+    out = chain(a, b)
+    np.asarray(jax.device_get(out[0, 0]))
+    t0 = time.perf_counter()
+    out = chain(a, b)
+    np.asarray(jax.device_get(out[0, 0]))
+    dt = (time.perf_counter() - t0) / iters
+    return (2 * n**3) / dt / 1e12  # TFLOP/s
+
+
 def main():
     cfg = TrainConfig(
         method=METHOD,
@@ -73,7 +95,11 @@ def main():
     batch = {k: jax.device_put(v) for k, v in next(bundle.data_iter).items()}
     rng = jax.random.key(0, impl="rbg")
     model = bundle.model
-    res = {"method": METHOD, "batch": cfg.batch_size, "scan_k": K}
+    d = jax.devices()[0]
+    res = {"method": METHOD, "batch": cfg.batch_size, "scan_k": K,
+           "device_kind": d.device_kind, "platform": d.platform}
+    if os.environ.get("BENCH_CALIBRATE", "1") == "1":
+        res["matmul_tflops"] = round(matmul_calibration(), 1)
 
     def scan_k(body):
         def run(carry):

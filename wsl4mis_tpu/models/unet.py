@@ -25,13 +25,32 @@ training dynamics are comparable.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .norm import FusedBatchNorm
+
 Dtype = Any
+
+
+def batch_norm(x, *, train: bool, name: str | None = None):
+    """BatchNorm with f32 statistics. WSL4MIS_BN_IMPL selects the flax
+    reference implementation ("flax", promotes activations to f32) or the
+    bandwidth-saving FusedBatchNorm ("fused", default: f32 stats, bf16
+    apply; same param/stat tree so checkpoints are interchangeable)."""
+    if os.environ.get("WSL4MIS_BN_IMPL", "fused") == "fused":
+        return FusedBatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            name=name,
+        )(x)
+    return nn.BatchNorm(
+        use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        dtype=jnp.float32, name=name,
+    )(x)
 
 DEFAULT_FEATURES = (16, 32, 64, 128, 256)
 DEFAULT_DROPOUT = (0.05, 0.1, 0.2, 0.3, 0.5)
@@ -98,10 +117,7 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool):
         x = TorchConv(self.features, dtype=self.dtype)(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32,
-        )(x)
+        x = batch_norm(x, train=train, name="BatchNorm_0")
         x = nn.leaky_relu(x, negative_slope=0.01).astype(self.dtype)
         if self.dropout_p > 0 and train:
             # Inline dropout in compute dtype: nn.Dropout's where(mask,
@@ -114,10 +130,7 @@ class ConvBlock(nn.Module):
             )
             x = x * (mask.astype(self.dtype) * jnp.asarray(1.0 / keep, self.dtype))
         x = TorchConv(self.features, dtype=self.dtype)(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32,
-        )(x)
+        x = batch_norm(x, train=train, name="BatchNorm_1")
         x = nn.leaky_relu(x, negative_slope=0.01).astype(self.dtype)
         return x
 
