@@ -130,9 +130,10 @@ def main():
             kwargs["rngs"]["feature_perturb"] = rngs["feature_perturb"]
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
+        extra = getattr(state, "extra", None) or {}
         for extra_col in ("class_memory",):
-            if extra_col in getattr(state, "extra", {}):
-                variables[extra_col] = state.extra[extra_col]
+            if extra_col in extra:
+                variables[extra_col] = extra[extra_col]
         out = model.apply(
             variables, x0, train=True,
             mutable=["batch_stats"] + (
