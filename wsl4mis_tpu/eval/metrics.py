@@ -39,12 +39,34 @@ def _border(mask: np.ndarray) -> np.ndarray:
     return mask & ~eroded
 
 
+def _crop_to_union(result: np.ndarray, reference: np.ndarray):
+    """Crop both masks to the union bounding box + 1 voxel margin.
+
+    Exactness: every border voxel of either mask lies inside the union
+    bbox, and with the 1-voxel false margin the binary erosion (border
+    extraction) and the EDT values *at border voxels* are identical to the
+    full-volume computation — only the distance field outside the bbox
+    (never sampled) is dropped. On 256^2 cardiac volumes this cuts the EDT
+    cost ~5-20x, which dominates validation wall time on this host.
+    """
+    union = result | reference
+    slices = ndimage.find_objects(union.astype(np.int8), max_label=1)[0]
+    if slices is None:  # both empty — callers guard, but stay safe
+        return result, reference
+    padded = tuple(
+        slice(max(s.start - 1, 0), min(s.stop + 1, dim))
+        for s, dim in zip(slices, result.shape)
+    )
+    return result[padded], reference[padded]
+
+
 def surface_distances(
     result: np.ndarray, reference: np.ndarray, voxelspacing=None
 ) -> np.ndarray:
     """One-directional surface distances (medpy __surface_distances parity)."""
     result = np.atleast_1d(result.astype(bool))
     reference = np.atleast_1d(reference.astype(bool))
+    result, reference = _crop_to_union(result, reference)
     if voxelspacing is not None:
         voxelspacing = np.atleast_1d(
             np.asarray(voxelspacing, dtype=np.float64)
