@@ -200,6 +200,15 @@ def main():
                 "dispatch_slices_per_sec": round(batch_size / dispatch_dt, 1),
                 "flops_per_step": flops,
                 "mfu": round(mfu, 4) if mfu is not None else None,
+                "note": (
+                    "honest fence: K-step scan per device call, fenced by "
+                    "materializing updated params on host; round-1 numbers "
+                    "used block_until_ready, which returns early on this "
+                    "tunneled backend and overstated throughput ~40x. "
+                    "See RESULTS.md round-2 for the step-time decomposition "
+                    "and the MXU lane-padding roofline of this 16-channel "
+                    "UNet."
+                ),
             }
         )
     )
