@@ -63,6 +63,40 @@ def _uniform_bound(bound: float):
     return init
 
 
+class _ConvOp(nn.Module):
+    """nn.Conv-compatible conv (same param tree: kernel/bias) that can
+    route 3x3 small-channel convs through the banded-matmul lowering
+    (ops/banded_conv.py) when WSL4MIS_CONV_IMPL=banded — ~3-4x fewer
+    padded MXU FLOPs on the 16/32-channel layers that dominate this net.
+    """
+
+    features: int
+    kernel_size: tuple[int, int]
+    dtype: Dtype
+    kernel_init: Any
+    bias_init: Any
+
+    @nn.compact
+    def __call__(self, x):
+        kshape = (*self.kernel_size, x.shape[-1], self.features)
+        kernel = self.param("kernel", self.kernel_init, kshape, jnp.float32)
+        bias = self.param(
+            "bias", self.bias_init, (self.features,), jnp.float32
+        )
+        xx = x.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        if os.environ.get("WSL4MIS_CONV_IMPL") == "banded":
+            from ..ops.banded_conv import banded_conv3x3, small_channel_eligible
+
+            if small_channel_eligible(kshape):
+                return banded_conv3x3(xx, k, bias)
+        y = jax.lax.conv_general_dilated(
+            xx, k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(y.dtype)
+
+
 class TorchConv(nn.Module):
     """3x3/1x1 conv with torch-default initialization (NHWC)."""
 
@@ -75,13 +109,13 @@ class TorchConv(nn.Module):
         in_ch = x.shape[-1]
         fan_in = in_ch * self.kernel_size[0] * self.kernel_size[1]
         bound = 1.0 / (fan_in ** 0.5)
-        return nn.Conv(
+        return _ConvOp(
             self.features,
             self.kernel_size,
-            padding="SAME",
-            dtype=self.dtype,
-            kernel_init=_uniform_bound(bound),
-            bias_init=_uniform_bound(bound),
+            self.dtype,
+            _uniform_bound(bound),
+            _uniform_bound(bound),
+            name="Conv_0",
         )(x)
 
 
