@@ -59,6 +59,19 @@ if __name__ == "__main__":
         "params": restored["params"],
         "batch_stats": restored["batch_stats"],
     }
+    if "class_memory" in restored:
+        variables["class_memory"] = restored["class_memory"]
+    else:
+        # older inference checkpoints predate the class-memory payload;
+        # the no-rep test path (reference default ep=0) never reads it,
+        # but the collection must exist for flax to trace the module
+        init = model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(0)},
+            jnp.zeros((1, 256, 256, 1), jnp.float32), train=False,
+        )
+        variables["class_memory"] = jax.tree.map(
+            jnp.zeros_like, init["class_memory"]
+        )
     predictor = VolumePredictor(
         model, (256, 256), decision_fn=mean_softmax_decision,
         apply_kwargs={"use_class_rep": False},

@@ -41,15 +41,19 @@ def load_checkpoint(path: str, target: Any = None) -> Any:
 
 def save_model_checkpoint(path: str, state) -> None:
     """Inference checkpoint: params + batch_stats (the reference's
-    state_dict equivalent)."""
-    save_checkpoint(
-        path,
-        {
-            "params": state.params,
-            "batch_stats": state.batch_stats,
-            "step": state.step,
-        },
-    )
+    state_dict equivalent), plus any method-owned variable collections the
+    forward pass needs at eval time (e.g. ScribbleVC's class_memory —
+    scribbleVC_ACDC.py keeps its prototypes in module buffers, so a torch
+    state_dict carries them; the flax equivalent lives in state.extra)."""
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "step": state.step,
+    }
+    extra = getattr(state, "extra", None) or {}
+    if "class_memory" in extra:
+        payload["class_memory"] = extra["class_memory"]
+    save_checkpoint(path, payload)
 
 
 def save_train_state(path: str, state) -> None:
