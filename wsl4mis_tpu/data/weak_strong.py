@@ -257,12 +257,16 @@ class WeakStrongAugment:
 
     def _jitter(self, image: np.ndarray) -> np.ndarray:
         # grayscale ColorJitter(0.8s, 0.8s, -, -): random brightness then
-        # contrast factors in [max(0, 1-0.8s), 1+0.8s], random order is
-        # immaterial for the two commuting-enough grayscale ops
+        # contrast factors in [max(0, 1-0.8s), 1+0.8s]; torchvision clamps
+        # to [0, 1] after each op, so the contrast blend must see the
+        # clamped image (and its clamped mean) — without the intermediate
+        # clip a brightness factor > 1 leaks up to ~0.06/pixel into the
+        # blend (ADVICE round-2). Random op order remains immaterial only
+        # because each stage is clamped the same way torchvision does.
         s = 0.8 * self.strength
         b = self.rng.uniform(max(0.0, 1 - s), 1 + s)
         c = self.rng.uniform(max(0.0, 1 - s), 1 + s)
-        out = image * b
+        out = np.clip(image * b, 0, 1)
         return np.clip(_blend(float(out.mean()), out, c), 0, 1)
 
     def __call__(self, sample: dict) -> dict:

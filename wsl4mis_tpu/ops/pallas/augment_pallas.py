@@ -176,8 +176,17 @@ def augment_batch_pallas(rng, images, labels, *, interpret: bool = False):
     """Drop-in replacement for data.augment_device.augment_batch.
 
     images: (B, H, W) float32; labels: (B, H, W) int32.
+
+    The shear-window unroll is sized for patch sizes <= 320 (MAXS_X/MAXS_Y
+    above); larger planes would silently fill rotate-branch rows/cols with
+    cval, so they are routed to the element-exact XLA gather path instead
+    (ADVICE round-2: no silent corruption for --patch_size > 320).
     """
     b, h, w = images.shape
+    if h > 320 or w > 320:
+        from ...data.augment_device import augment_batch
+
+        return augment_batch(rng, images, labels)
     keys = jax.random.split(rng, b)
     branch, k_rot, axis, angle, labcval = _sample_policy(keys, labels)
     o1, o2, o3 = jax.vmap(lambda a: shear_offsets(a, h, w))(angle)

@@ -39,20 +39,35 @@ def load_checkpoint(path: str, target: Any = None) -> Any:
     return serialization.from_bytes(target, data)
 
 
-def save_model_checkpoint(path: str, state) -> None:
+def save_model_checkpoint(path: str, state, eval_extra=None) -> None:
     """Inference checkpoint: params + batch_stats (the reference's
-    state_dict equivalent), plus any method-owned variable collections the
-    forward pass needs at eval time (e.g. ScribbleVC's class_memory —
-    scribbleVC_ACDC.py keeps its prototypes in module buffers, so a torch
-    state_dict carries them; the flax equivalent lives in state.extra)."""
+    state_dict equivalent), plus the method-declared eval-time variable
+    collections from state.extra (MethodBundle.eval_extra — e.g.
+    ScribbleVC's class_memory: scribbleVC_ACDC.py keeps its prototypes in
+    module buffers, so a torch state_dict carries them; the flax
+    equivalent lives in state.extra). Training-only extras (EMA teachers,
+    S2L's whole-dataset weight buffer) are deliberately NOT persisted here
+    — they live in the full resumable checkpoint (save_train_state).
+
+    eval_extra: iterable of state.extra keys to persist. Default (None)
+    keeps back-compat with direct callers: class_memory if present.
+    """
     payload = {
         "params": state.params,
         "batch_stats": state.batch_stats,
         "step": state.step,
     }
     extra = getattr(state, "extra", None) or {}
-    if "class_memory" in extra:
-        payload["class_memory"] = extra["class_memory"]
+    keys = tuple(eval_extra) if eval_extra is not None else ("class_memory",)
+    for k in keys:
+        if k in extra:
+            payload[k] = extra[k]
+        elif eval_extra is not None:
+            raise KeyError(
+                f"eval_extra key {k!r} not in state.extra "
+                f"({sorted(extra)}); inference checkpoint would be "
+                "missing a collection the eval forward needs"
+            )
     save_checkpoint(path, payload)
 
 
