@@ -72,43 +72,98 @@ def _tree_allclose(t1, t2, atol):
         np.testing.assert_allclose(a, b, atol=atol)
 
 
-def _run_parity(method):
+def _run_parity(method, param_atol=1e-4, advance_step: int | None = None):
     """Single-device step vs 8-device sharded step: params, extra state,
-    and loss must agree to float tolerance."""
+    and loss must agree to float tolerance.
+
+    param_atol: Adam-family optimizers amplify a reassociation-flipped
+    sign of a near-zero gradient into a full +-lr step on that weight
+    (measured: scribblevc/AdamW(5e-4) params differ by exactly 2*lr=1e-3
+    on a handful of conv kernels while every loss term agrees to ~1e-5
+    relative — diag round 3). So the per-method bound is ~2.2x the
+    optimizer lr, NOT a universal 1e-4; a real sharding bug shows up as
+    loss/extra divergence, which stays on tight relative bounds.
+
+    advance_step: optionally bump state.step before the measured step so
+    step-gated branches (ScribbleVC's class memory after epoch 4) run.
+    """
     cfg = _cfg(method)
     bundle = get_method(method).build(cfg)
     batch = next(bundle.data_iter)
     rng = jax.random.key(0)
 
-    state1, m1 = jax.jit(bundle.step_fn)(bundle.state, batch, rng, bundle.aux)
+    state0 = bundle.state
+    if advance_step is not None:
+        import jax.numpy as jnp
+
+        state0 = state0.replace(step=jnp.asarray(advance_step, state0.step.dtype))
+    state1, m1 = jax.jit(bundle.step_fn)(state0, batch, rng, bundle.aux)
 
     mesh = make_mesh()
     bundle2 = get_method(method).build(cfg)
     state_r = replicate_tree(mesh, bundle2.state)
+    if advance_step is not None:
+        import jax.numpy as jnp
+
+        state_r = state_r.replace(
+            step=replicate_tree(
+                mesh, jnp.asarray(advance_step, bundle2.state.step.dtype)
+            )
+        )
     sharded = shard_batch(mesh, batch)
     aux_r = (
         replicate_tree(mesh, bundle2.aux) if bundle2.aux is not None else None
     )
     state2, m2 = jax.jit(bundle2.step_fn)(state_r, sharded, rng, aux_r)
 
-    assert abs(float(m1["total_loss"]) - float(m2["total_loss"])) < 1e-5
-    # atol 1e-4: sharded reductions reassociate f32 sums; observed drift is
-    # ~1e-5 on a handful of weights — far below any real divergence.
-    _tree_allclose(state1.params, state2.params, atol=1e-4)
+    # Params and method-owned extra state first (a flipped discrete gate —
+    # e.g. ScribbleVC's is-class-max memory masking — would be O(1) here),
+    # then the loss on a RELATIVE tolerance: sharded reductions
+    # reassociate f32 sums, and a masked-mean CE over 100-magnitude
+    # logits legitimately drifts ~2e-5 relative (measured).
+    _tree_allclose(state1.params, state2.params, atol=param_atol)
     if state1.extra is not None:
-        _tree_allclose(state1.extra, state2.extra, atol=1e-4)
+        _tree_allclose(state1.extra, state2.extra, atol=param_atol)
+    l1, l2 = float(m1["total_loss"]), float(m2["total_loss"])
+    assert abs(l1 - l2) / max(1.0, abs(l1)) < 1e-4, (l1, l2)
     return bundle2, state2, mesh
+
+
+# per-method param tolerance: ~2.2x the optimizer lr for Adam-family
+# methods (sign-flip amplification, see _run_parity), 1e-4 for SGD.
+PARAM_ATOL = {"scribblevc": 1.2e-3, "deep_adversarial": 3e-4}
 
 
 @pytest.mark.parametrize("method", FAST_METHODS)
 def test_data_parallel_step_matches_single_device(method):
-    _run_parity(method)
+    _run_parity(method, PARAM_ATOL.get(method, 1e-4))
 
 
 @pytest.mark.slow
 @pytest.mark.parametrize("method", SLOW_METHODS)
 def test_data_parallel_step_matches_single_device_slow(method):
-    _run_parity(method)
+    _run_parity(method, PARAM_ATOL.get(method, 1e-4))
+
+
+@pytest.mark.slow
+def test_scribblevc_class_memory_parity_on_mesh():
+    """The class-representation memory branch (active after epoch 4) must
+    produce the same prototypes and gate decisions on the mesh: its
+    batch-mean einsums are sharded reductions feeding discrete
+    is-class-max/sigmoid gates (ADVICE round-2). Advancing state.step past
+    5 epochs exercises the branch the default step-0 test never reaches;
+    hist_conv/hist_tran parity (checked inside _run_parity via
+    state.extra) is the gate-flip detector."""
+    cfg = _cfg("scribblevc")
+    steps_per_epoch = max(cfg.data_limit // cfg.batch_size, 1)
+    bundle, state, mesh = _run_parity(
+        "scribblevc", PARAM_ATOL["scribblevc"],
+        advance_step=6 * steps_per_epoch,
+    )
+    init = np.asarray(
+        jax.device_get(state.extra["class_memory"]["initialized"])
+    )
+    assert float(init) == 1.0, "memory branch did not run"
 
 
 def test_s2l_refresh_on_mesh():

@@ -44,6 +44,21 @@ class MethodBundle:
                                         # save a {model}_{dice}_model.pth
                                         # snapshot whenever val dice beats
                                         # this (train_ACDC_scribblevc.py:292-295)
+    select_predictor: Any | None = None
+                                        # optional second predictor whose
+                                        # metric drives best-model selection
+                                        # (e.g. ScribbleVC's test-time
+                                        # mean-softmax rule; the main
+                                        # predictor keeps the reference
+                                        # training-val rule for logging)
+    select_variables: Callable | None = None  # (state) -> variables for
+                                        # select_predictor (defaults to
+                                        # val_variables)
+    eval_extra: tuple = ()              # state.extra keys the eval-time
+                                        # forward needs; persisted into
+                                        # inference checkpoints
+    lr_schedule: Callable | None = None  # (step) -> lr for logging; defaults
+                                        # to the poly schedule
 
 
 def compute_dtype(cfg: TrainConfig):

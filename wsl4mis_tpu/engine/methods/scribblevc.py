@@ -49,12 +49,55 @@ def cam_decision(outputs):
     return jnp.argmax(gated, axis=-1)
 
 
+def mean_softmax_decision(outputs):
+    """argmax(0.5*(softmax(p1)+softmax(p2))) — the offline test-time rule
+    (test_ACDC_scribblevc.py:84-87)."""
+    p1 = jax.nn.softmax(outputs[0], axis=-1)
+    p2 = jax.nn.softmax(outputs[1], axis=-1)
+    return jnp.argmax(0.5 * (p1 + p2), axis=-1)
+
+
 def slice_categories(dense_labels: np.ndarray, num_classes: int) -> np.ndarray:
     """(N, num_classes-1) bool class-presence table from dense labels."""
     return np.stack(
         [(dense_labels == c).any(axis=(1, 2)) for c in range(1, num_classes)],
         axis=1,
     ).astype(np.float32)
+
+
+def _prototype_health(params, mem):
+    """Per-step prototype diagnostics (VERDICT round-2 item 3b): magnitude
+    stats of the class memory and the classification heads' accuracy on
+    their own prototypes (prototype k should classify as class k — the
+    is-class-max gate's health signal)."""
+    z = mem["hist_conv"].astype(jnp.float32)  # (ncls, h', w', c)
+    ncls = z.shape[0]
+    kc = params["conv_cls_conv"]["Conv_0"]["kernel"].astype(jnp.float32)
+    logits = jnp.mean(
+        jax.lax.conv_general_dilated(
+            z, kc, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ),
+        axis=(1, 2),
+    )  # (ncls, ncls)
+    acc = jnp.mean(
+        (jnp.argmax(logits, axis=1) == jnp.arange(ncls)).astype(jnp.float32)
+    )
+    td = params["trans_cls_head"]["Dense_0"]
+    t0 = mem["hist_tran"][:, 0].astype(jnp.float32)
+    tlogits = t0 @ td["kernel"].astype(jnp.float32) + td["bias"].astype(
+        jnp.float32
+    )
+    tacc = jnp.mean(
+        (jnp.argmax(tlogits, axis=1) == jnp.arange(ncls)).astype(jnp.float32)
+    )
+    return {
+        "proto_acc_conv": acc,
+        "proto_acc_tran": tacc,
+        "mem_conv_absmax": jnp.max(jnp.abs(z)),
+        "mem_conv_absmean": jnp.mean(jnp.abs(z)),
+        "mem_tran_absmax": jnp.max(jnp.abs(mem["hist_tran"])),
+    }
 
 
 def make_step(cfg: TrainConfig, model: ScribbleVC, steps_per_epoch: int):
@@ -136,6 +179,7 @@ def make_step(cfg: TrainConfig, model: ScribbleVC, steps_per_epoch: int):
             "loss_pseudo": l_pse,
             "loss_crf": l_crf,
             "loss_cls": l_cls,
+            **_prototype_health(state.params, new_mem),
             "vis": train_vis(x, pred1, labels),
         }
 
@@ -216,6 +260,17 @@ def build(cfg: TrainConfig) -> MethodBundle:
         model, cfg.patch_size, decision_fn=cam_decision,
         apply_kwargs={"use_class_rep": True},
     )
+    # Best-model selection follows the OFFLINE TEST rule (mean-softmax
+    # ensemble, NO class-memory injection — test_ACDC_scribblevc.py:84-87):
+    # the memory-injected CAM metric above is depressed ~14 pts by the
+    # prototype injection and froze round-2 selection on an epoch-21 model
+    # that scored 0.631 on test while epoch-100 scored 0.827 (RESULTS.md
+    # round-2 diagnosis). The CAM rule stays as the logged training-val
+    # metric for reference parity.
+    select_predictor = VolumePredictor(
+        model, cfg.patch_size, decision_fn=mean_softmax_decision,
+        apply_kwargs={"use_class_rep": False},
+    )
 
     def val_variables(state):
         return {
@@ -236,4 +291,9 @@ def build(cfg: TrainConfig) -> MethodBundle:
         val_variables=val_variables,
         nan_val_metrics=True,
         dice_snapshot_threshold=0.85,
+        select_predictor=select_predictor,
+        select_variables=val_variables,
+        eval_extra=("class_memory",),
+        lr_schedule=lambda step: 5e-4,  # constant AdamW LR
+                                        # (train_ACDC_scribblevc.py:146-147)
     )

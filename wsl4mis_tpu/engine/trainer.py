@@ -150,10 +150,27 @@ class Trainer:
         self.writer.add_image("train/GroundTruth", lab[None], step)
 
     def _lr(self, iter_num):
-        cfg = self.cfg
-        return cfg.base_lr * (1.0 - iter_num / cfg.max_iterations) ** 0.9
+        # logged LR comes from the same schedule the optimizer applies
+        # (bundle.lr_schedule, else engine/optim.poly_lr) — no drift.
+        if self.bundle.lr_schedule is not None:
+            return float(self.bundle.lr_schedule(iter_num))
+        from .optim import poly_lr
+
+        return float(
+            poly_lr(self.cfg.base_lr, self.cfg.max_iterations)(iter_num)
+        )
 
     def validate(self, iter_num: int) -> tuple[float, float]:
+        """Run validation; returns the metric that drives best-model
+        selection.
+
+        The main predictor keeps the reference training-val rule and the
+        reference TB tags. When the bundle provides a select_predictor
+        (ScribbleVC: the test-time no-memory mean-softmax rule — the
+        memory-injected CAM metric is depressed ~14 pts and froze selection
+        at a bad epoch, RESULTS.md round-2), its metric is logged under
+        info/val_select_* and returned for selection instead.
+        """
         if self.bundle.val_variables is not None:
             variables = self.bundle.val_variables(self.state)
         else:
@@ -176,6 +193,26 @@ class Trainer:
         mean_hd95 = float(mean(metric_list, axis=0)[1])
         self._scalar("info/val_mean_dice", performance, iter_num)
         self._scalar("info/val_mean_hd95", mean_hd95, iter_num)
+        if self.bundle.select_predictor is not None:
+            sel_vars = (
+                self.bundle.select_variables(self.state)
+                if self.bundle.select_variables is not None
+                else variables
+            )
+            sel_list = evaluate_fold(
+                self.bundle.select_predictor, sel_vars,
+                self.bundle.val_volumes, self.cfg.num_classes,
+                nan_aware=nan_aware,
+            )
+            sel_perf = float(mean(sel_list, axis=0)[0])
+            sel_hd95 = float(mean(sel_list, axis=0)[1])
+            self._scalar("info/val_select_mean_dice", sel_perf, iter_num)
+            self._scalar("info/val_select_mean_hd95", sel_hd95, iter_num)
+            logging.info(
+                "iteration %d : val(train-rule) dice %f ; val(select-rule) "
+                "dice %f", iter_num, performance, sel_perf,
+            )
+            return sel_perf, sel_hd95
         return performance, mean_hd95
 
     # ------------------------------------------------------------------
@@ -240,7 +277,7 @@ class Trainer:
                             self.snapshot_path,
                             f"{cfg.model}_{str(performance)[0:6]}_model.pth",
                         ),
-                        self.state,
+                        self.state, eval_extra=self.bundle.eval_extra,
                     )
                 if performance > best_performance:
                     best_performance = performance
@@ -249,13 +286,13 @@ class Trainer:
                             self.snapshot_path,
                             f"iter_{iter_num}_dice_{round(best_performance, 4)}.pth",
                         ),
-                        self.state,
+                        self.state, eval_extra=self.bundle.eval_extra,
                     )
                     save_model_checkpoint(
                         os.path.join(
                             self.snapshot_path, f"{cfg.model}_best_model.pth"
                         ),
-                        self.state,
+                        self.state, eval_extra=self.bundle.eval_extra,
                     )
                 logging.info(
                     "iteration %d : mean_dice : %f mean_hd95 : %f",
@@ -265,7 +302,7 @@ class Trainer:
             if iter_num % self.ckpt_every == 0:
                 save_model_checkpoint(
                     os.path.join(self.snapshot_path, f"iter_{iter_num}.pth"),
-                    self.state,
+                    self.state, eval_extra=self.bundle.eval_extra,
                 )
                 save_train_state(
                     os.path.join(self.snapshot_path, "latest_full.ckpt"),

@@ -297,6 +297,93 @@ class UNetUpBilinear(nn.Module):
         return h
 
 
+def class_memory_update(hf, tf, conv_cls, tran_cls, hist_conv, hist_tran,
+                        initialized, hist_weight, conv_head_fn,
+                        trans_head_fn):
+    """Training-branch class-representation memory math
+    (scribbleVC_ACDC.py:670-739), factored out as a pure function so it
+    can be oracle-tested against a line-by-line torch reimplementation
+    (tests/test_scribblevc_memory_oracle.py).
+
+    Args (all float32):
+      hf: (B, H, W, C) trunk features; tf: (B, T, E) layer-normed tokens;
+      conv_cls / tran_cls: (B, ncls) classification logits;
+      hist_conv: (ncls, H, W, C) and hist_tran: (ncls, T, E) prototypes;
+      initialized: () flag (0 on the very first update);
+      hist_weight: EMA keep-rate (reference default 0.5);
+      conv_head_fn: applies the conv classification head to (ncls,H,W,C)
+        prototype maps -> (ncls, ncls) logits; trans_head_fn: applies the
+        trans head to (ncls, E) cls-token prototypes -> (ncls, ncls).
+
+    Returns (dh, t_rep, new_hist_conv, new_hist_tran):
+      dh: (B, H, W, C) feature injection to add to the trunk;
+      t_rep: (B, T, E) token injection (caller drops the cls token);
+      new_hist_*: updated prototypes (stop-gradiented, as the reference's
+        buffer updates are outside autograd).
+    """
+    b = hf.shape[0]
+    ncls = conv_cls.shape[1]
+    hw0 = hist_weight
+    rep = jnp.einsum("bi,bhwc->ihwc", conv_cls, hf) / b
+    ema = jnp.where(
+        initialized > 0, hw0 * hist_conv + (1 - hw0) * rep, rep
+    )
+    rep_prob = conv_head_fn(ema)
+    is_max = (
+        jnp.argmax(rep_prob, axis=1) == jnp.arange(ncls)
+    ).astype(jnp.float32)
+    rep_masked = is_max[:, None, None, None] * rep
+    w_vec = jnp.where(is_max == 0, 1.0, hw0)
+    # Gradient-flow parity (scribbleVC_ACDC.py:691-694): the reference
+    # detaches only the OLD history term — the fresh (1-w)*rep_masked
+    # contribution stays in the graph, so the injection below backprops
+    # into this step's features and classification logits. (Round-2
+    # stop-gradiented the whole buffer: a real mechanics deviation.)
+    new_hist = jnp.where(
+        initialized > 0,
+        w_vec[:, None, None, None] * jax.lax.stop_gradient(hist_conv)
+        + (1 - w_vec)[:, None, None, None] * rep_masked,
+        rep_masked,
+    )
+    conv_prob = jax.nn.sigmoid(conv_cls)
+    ok = jnp.all(
+        jnp.logical_or(conv_prob < 0.5, is_max > 0), axis=1, keepdims=True
+    ).astype(jnp.float32)
+    weight = jnp.where(conv_prob < 0.5, 0.0, conv_prob) * ok
+    dh = jnp.einsum("ab,bhwc->ahwc", weight, new_hist)
+
+    trep = jnp.einsum("bi,bjk->ijk", tran_cls, tf) / b
+    tema = jnp.where(
+        initialized > 0, hw0 * hist_tran + (1 - hw0) * trep, trep
+    )
+    trep_prob = trans_head_fn(tema[:, 0])
+    t_is_max = (
+        jnp.argmax(trep_prob, axis=1) == jnp.arange(ncls)
+    ).astype(jnp.float32)
+    trep_masked = t_is_max[:, None, None] * trep
+    t_w = jnp.where(t_is_max == 0, 1.0, hw0)
+    new_t_hist = jnp.where(
+        initialized > 0,
+        t_w[:, None, None] * jax.lax.stop_gradient(hist_tran)
+        + (1 - t_w)[:, None, None] * trep_masked,
+        trep_masked,
+    )
+    # reference gates the token injection's all-classes check with the
+    # *conv* head's probabilities (scribbleVC_ACDC.py:736)
+    t_ok = jnp.all(
+        jnp.logical_or(conv_prob < 0.5, t_is_max > 0), axis=1, keepdims=True
+    ).astype(jnp.float32)
+    tran_prob = jax.nn.sigmoid(tran_cls)
+    t_weight = jnp.where(tran_prob < 0.5, 0.0, tran_prob) * t_ok
+    t_rep = jnp.einsum("ab,bjk->ajk", t_weight, new_t_hist)
+    return (
+        dh,
+        t_rep,
+        jax.lax.stop_gradient(new_hist),
+        jax.lax.stop_gradient(new_t_hist),
+    )
+
+
 class ScribbleVC(nn.Module):
     """The ACDC ScribbleVC Net (scribbleVC_ACDC.py:484-765)."""
 
@@ -409,64 +496,22 @@ class ScribbleVC(nn.Module):
             return jnp.mean(out.astype(jnp.float32), axis=(1, 2))
 
         if use_class_rep and train and b == self.batch_size:
-            hw0 = self.hist_weight
-            hf = h.astype(jnp.float32)
-            rep = jnp.einsum("bi,bhwc->ihwc", conv_cls, hf) / b
-            ema = jnp.where(
-                initialized.value > 0, hw0 * hist_conv.value + (1 - hw0) * rep, rep
+            dh, t_rep, new_hist, new_t_hist = class_memory_update(
+                h.astype(jnp.float32),
+                t_normed.astype(jnp.float32),
+                conv_cls,
+                tran_cls,
+                hist_conv.value,
+                hist_tran.value,
+                initialized.value,
+                self.hist_weight,
+                conv_head_on,
+                lambda z: trans_cls_mod(z.astype(dt)).astype(jnp.float32),
             )
-            rep_prob = conv_head_on(ema)
-            is_max = (
-                jnp.argmax(rep_prob, axis=1) == jnp.arange(ncls)
-            ).astype(jnp.float32)
-            rep_masked = is_max[:, None, None, None] * rep
-            w_vec = jnp.where(is_max == 0, 1.0, hw0)
-            new_hist = jnp.where(
-                initialized.value > 0,
-                w_vec[:, None, None, None] * hist_conv.value
-                + (1 - w_vec)[:, None, None, None] * rep_masked,
-                rep_masked,
-            )
-            hist_conv.value = jax.lax.stop_gradient(new_hist)
-            conv_prob = jax.nn.sigmoid(conv_cls)
-            ok = jnp.all(
-                jnp.logical_or(conv_prob < 0.5, is_max > 0), axis=1,
-                keepdims=True,
-            ).astype(jnp.float32)
-            weight = jnp.where(conv_prob < 0.5, 0.0, conv_prob) * ok
-            h = h + jnp.einsum("ab,bhwc->ahwc", weight, hist_conv.value).astype(dt)
+            hist_conv.value = new_hist
+            hist_tran.value = new_t_hist
+            h = h + dh.astype(dt)
             feature_conv[-1] = h
-
-            tf = t_normed.astype(jnp.float32)
-            trep = jnp.einsum("bi,bjk->ijk", tran_cls, tf) / b
-            tema = jnp.where(
-                initialized.value > 0,
-                hw0 * hist_tran.value + (1 - hw0) * trep, trep,
-            )
-            trep_prob = trans_cls_mod(tema[:, 0].astype(dt)).astype(
-                jnp.float32
-            )
-            t_is_max = (
-                jnp.argmax(trep_prob, axis=1) == jnp.arange(ncls)
-            ).astype(jnp.float32)
-            trep_masked = t_is_max[:, None, None] * trep
-            t_w = jnp.where(t_is_max == 0, 1.0, hw0)
-            new_t_hist = jnp.where(
-                initialized.value > 0,
-                t_w[:, None, None] * hist_tran.value
-                + (1 - t_w)[:, None, None] * trep_masked,
-                trep_masked,
-            )
-            hist_tran.value = jax.lax.stop_gradient(new_t_hist)
-            # reference gates the token weights with the *conv* head's
-            # probabilities (scribbleVC_ACDC.py:736)
-            t_ok = jnp.all(
-                jnp.logical_or(conv_prob < 0.5, t_is_max > 0), axis=1,
-                keepdims=True,
-            ).astype(jnp.float32)
-            tran_prob = jax.nn.sigmoid(tran_cls)
-            t_weight = jnp.where(tran_prob < 0.5, 0.0, tran_prob) * t_ok
-            t_rep = jnp.einsum("ab,bjk->ajk", t_weight, hist_tran.value)
             x_patch = x_patch + t_rep[:, 1:].reshape(
                 b, gh, gw, self.embed_dim
             ).astype(dt)
