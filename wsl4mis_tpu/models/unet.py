@@ -65,9 +65,18 @@ def _uniform_bound(bound: float):
 
 class _ConvOp(nn.Module):
     """nn.Conv-compatible conv (same param tree: kernel/bias) that can
-    route 3x3 small-channel convs through the banded-matmul lowering
-    (ops/banded_conv.py) when WSL4MIS_CONV_IMPL=banded — ~3-4x fewer
-    padded MXU FLOPs on the 16/32-channel layers that dominate this net.
+    route 3x3 small-channel convs through banded-matmul lowerings — the
+    reference widths (16/32 channels at full resolution) pad to ~7% MXU
+    tile occupancy under the direct lowering (RESULTS.md roofline).
+
+    WSL4MIS_CONV_IMPL selects:
+      * "pallas" — in-VMEM banded Pallas kernel with custom VJP
+        (ops/pallas/banded_conv_pallas.py); the production TPU path.
+      * "banded" — graph-level jnp specification (ops/banded_conv.py);
+        bit-tested vs lax.conv but slower on-chip (HBM regroup
+        materialization, round-2 negative result) — kept as the testable
+        spec of the banded semantics.
+      * unset/"direct" — lax.conv_general_dilated.
     """
 
     features: int
@@ -85,7 +94,16 @@ class _ConvOp(nn.Module):
         )
         xx = x.astype(self.dtype)
         k = kernel.astype(self.dtype)
-        if os.environ.get("WSL4MIS_CONV_IMPL") == "banded":
+        impl = os.environ.get("WSL4MIS_CONV_IMPL")
+        if impl == "pallas":
+            from ..ops.pallas.banded_conv_pallas import (
+                banded_conv3x3_pallas,
+                eligible,
+            )
+
+            if eligible(xx.shape, kshape):
+                return banded_conv3x3_pallas(xx, k, bias.astype(self.dtype))
+        elif impl == "banded":
             from ..ops.banded_conv import banded_conv3x3, small_channel_eligible
 
             if small_channel_eligible(kshape):
@@ -119,11 +137,55 @@ class TorchConv(nn.Module):
         )(x)
 
 
+class _MatmulConvTranspose(nn.Module):
+    """2x2 stride-2 transposed conv as ONE matmul + pixel interleave.
+
+    With kernel==stride, every output pixel receives exactly one tap:
+    out[n, 2i+a, 2j+b, o] = sum_c x[n,i,j,c] * K[a,b,c,o]. The direct
+    lowering dispatches a lhs-dilated conv whose contraction (C) pads to
+    128 MXU lanes per tap; packing the 4 taps into the matmul N-dim
+    (C -> 4*O) quarters the padded FLOPs. Same param tree (kernel/bias,
+    flax ConvTranspose shapes) so checkpoints are interchangeable;
+    bit-parity tested in tests/test_models.py.
+    """
+
+    features: int
+    dtype: Dtype
+    kernel_init: Any
+    bias_init: Any
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        o = self.features
+        kernel = self.param(
+            "kernel", self.kernel_init, (2, 2, c, o), jnp.float32
+        )
+        bias = self.param("bias", self.bias_init, (o,), jnp.float32)
+        # lax.conv_transpose applies the kernel spatially mirrored (the
+        # gradient-of-conv convention): output subpixel (a, b) takes tap
+        # K[1-a, 1-b] — bit-verified vs flax in tests/test_tconv_matmul.py.
+        km = (
+            kernel[::-1, ::-1]
+            .astype(self.dtype)
+            .transpose(2, 0, 1, 3)
+            .reshape(c, 4 * o)
+        )
+        y = jax.lax.dot_general(
+            x.astype(self.dtype), km, (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (N, H, W, 4*O)
+        y = y.reshape(n, h, w, 2, 2, o).transpose(0, 1, 3, 2, 4, 5)
+        y = y.reshape(n, 2 * h, 2 * w, o) + bias
+        return y.astype(self.dtype)
+
+
 class TorchConvTranspose(nn.Module):
     """2x2 stride-2 transposed conv with torch-default init (NHWC).
 
     torch computes fan_in for ConvTranspose2d from weight dim 1
-    (= out_channels * k * k); replicated here.
+    (= out_channels * k * k); replicated here. WSL4MIS_TCONV_IMPL=matmul
+    routes through the single-matmul lowering (same param tree).
     """
 
     features: int
@@ -133,6 +195,14 @@ class TorchConvTranspose(nn.Module):
     def __call__(self, x):
         fan_in = self.features * 2 * 2
         bound = 1.0 / (fan_in ** 0.5)
+        if os.environ.get("WSL4MIS_TCONV_IMPL") == "matmul":
+            return _MatmulConvTranspose(
+                self.features,
+                self.dtype,
+                _uniform_bound(bound),
+                _uniform_bound(bound),
+                name="ConvTranspose_0",
+            )(x)
         return nn.ConvTranspose(
             self.features,
             (2, 2),
