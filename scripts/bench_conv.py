@@ -53,7 +53,7 @@ SHAPES = [
     (16, 4, 256, 256),
 ]
 BATCH = int(os.environ.get("BENCH_BATCH", "24"))
-K = int(os.environ.get("BENCH_K", "20"))
+K = int(os.environ.get("BENCH_K", "50"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 
 
@@ -78,7 +78,15 @@ def _time_chain(fn, *args):
     return best * 1e3
 
 
-def bench_shape(c, o, h, w, impl):
+def bench_shape(c, o, h, w, impl, fence_ms):
+    """Returns (fwd_ms, fwdbwd_ms) NET of the fence-only baseline.
+
+    Each chain iteration feeds a data-dependent scalar of the conv output
+    back into the kernel, so the K iterations cannot overlap or be
+    elided; the fence-only chain (identical minus the conv) is measured
+    once per (C,H,W) and subtracted — it carries the tunnel RTT/K and
+    the 50 MB sum reduction (~0.7 ms/iter at K=50, comparable to the
+    small convs being measured)."""
     key = jax.random.key(0)
     kx, kk = jax.random.split(key)
     x = jax.random.normal(kx, (BATCH, h, w, c), jnp.bfloat16)
@@ -93,20 +101,17 @@ def bench_shape(c, o, h, w, impl):
     else:
         conv = _direct
 
-    # fwd chain: x_{i+1} = conv(x_i) mixed back to C channels via a fixed
-    # projection so the chain stays shape-stable and data-dependent.
-    proj = (jax.random.normal(jax.random.key(1), (o, c), jnp.float32) * 0.05
-            ).astype(jnp.bfloat16)
+    def fwd_chain(k0, x):
+        def body(kk_, _):
+            y = conv(x, kk_, b)
+            kk2 = kk_ + (jnp.tanh(jnp.sum(y.astype(jnp.float32))) * 1e-30
+                         ).astype(kk_.dtype)
+            return kk2, None
 
-    def fwd_chain(x0, kern):
-        def body(xx, _):
-            y = conv(xx, kern, b)
-            return jnp.tanh(y @ proj), None
+        kN, _ = jax.lax.scan(body, k0, None, length=K)
+        return kN
 
-        xN, _ = jax.lax.scan(body, x0, None, length=K)
-        return xN
-
-    fwd_ms = _time_chain(fwd_chain, x, kern)
+    fwd_ms = _time_chain(fwd_chain, kern, x) - fence_ms
 
     def step_chain(k0, x):
         def body(kk_, _):
@@ -119,8 +124,25 @@ def bench_shape(c, o, h, w, impl):
         kN, _ = jax.lax.scan(body, k0, None, length=K)
         return kN
 
-    fb_ms = _time_chain(step_chain, kern, x)
-    return fwd_ms, fb_ms
+    fb_ms = _time_chain(step_chain, kern, x) - fence_ms
+    return max(fwd_ms, 1e-3), max(fb_ms, 1e-3)
+
+
+def bench_fence(c, o, h, w):
+    """Fence-only chain: same scalar feedback, no conv."""
+    kx, _ = jax.random.split(jax.random.key(0))
+    x = jax.random.normal(kx, (BATCH, h, w, c), jnp.bfloat16)
+    kern = jnp.zeros((3, 3, c, o), jnp.bfloat16)
+
+    def chain(k0, x):
+        def body(kk_, _):
+            kk2 = kk_ + (jnp.tanh(jnp.sum(x.astype(jnp.float32))) * 1e-30
+                         ).astype(kk_.dtype)
+            return kk2, None
+
+        return jax.lax.scan(body, k0, None, length=K)[0]
+
+    return _time_chain(chain, kern, x)
 
 
 def main():
@@ -135,15 +157,17 @@ def main():
         pad_banded_g = (
             BATCH * h * w * plan.cost_per_pixel / 1e9 if plan else None
         )
+        fence_ms = bench_fence(c, o, h, w)
         row = {
             "shape": f"{c}->{o}@{h}x{w}",
             "true_gflop": round(true_g, 2),
             "pad_direct_gflop": round(pad_direct_g, 2),
             "pad_banded_gflop": round(pad_banded_g, 2) if pad_banded_g else None,
             "J": plan.j if plan else None,
+            "fence_ms": round(fence_ms, 3),
         }
         for impl in ("direct", "pallas"):
-            r = bench_shape(c, o, h, w, impl)
+            r = bench_shape(c, o, h, w, impl, fence_ms)
             if r is None:
                 row[impl] = None
                 continue

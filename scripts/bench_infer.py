@@ -32,6 +32,55 @@ DTYPE = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
 ]
 
 
+def _device_throughput(model, variables, vols, reps: int = 8,
+                       chunk: int = 32):
+    """Device-side serving throughput (VERDICT round-2 item 8).
+
+    All fold slices are staged in HBM once, chunked, and `reps` passes run
+    inside ONE device call as a lax.scan whose carry accumulates a scalar
+    derived from every chunk's argmax — so the iterations serialize and
+    materializing the final carry on the host fences every forward pass
+    (the same honest-fence idea as bench.py; block_until_ready alone
+    acknowledges early on this tunneled backend). Dispatch latency
+    amortizes over reps*slices.
+    """
+    from scipy.ndimage import zoom as nd_zoom
+
+    slices = []
+    for v in vols:
+        img = v["image"]
+        zf = (1, 256 / img.shape[1], 256 / img.shape[2])
+        slices.append(nd_zoom(img, zf, order=0).astype(np.float32))
+    x = np.concatenate(slices, axis=0)[..., None]
+    n = (len(x) // chunk) * chunk
+    x = x[:n]
+    xall = jax.device_put(x.reshape(n // chunk, chunk, 256, 256, 1))
+
+    def fwd(xb):
+        out = model.apply(variables, xb.astype(DTYPE), train=False)
+        logits = out[0] if isinstance(out, (tuple, list)) else out
+        return jnp.argmax(logits, axis=-1)
+
+    def one_pass(acc, xb):
+        return acc + jnp.sum(fwd(xb) == 1), None
+
+    @jax.jit
+    def run(xall):
+        def rep(acc, _):
+            acc2, _ = jax.lax.scan(one_pass, acc, xall)
+            return acc2, None
+
+        return jax.lax.scan(rep, jnp.int32(0), None, length=reps)[0]
+
+    int(jax.device_get(run(xall)))  # warm + fence
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        int(jax.device_get(run(xall)))
+        best = min(best, time.perf_counter() - t0)
+    return reps * n / best, n
+
+
 def main():
     model = net_factory(MODEL, class_num=4, dtype=DTYPE)
     variables = init_model(model, jax.random.key(0), (1, 256, 256, 1))
@@ -50,6 +99,8 @@ def main():
         pred = predictor.predict_volume(variables, v["image"])
     np.asarray(pred)  # predict_volume already returns host arrays
     wall = time.perf_counter() - t0
+
+    dev_sps, dev_n = _device_throughput(model, variables, vols)
     print(
         json.dumps(
             {
@@ -60,6 +111,14 @@ def main():
                 "slices": int(n_slices),
                 "wall_s": round(wall, 3),
                 "ms_per_volume": round(wall / len(vols.volumes) * 1e3, 2),
+                "device_slices_per_sec": round(dev_sps, 1),
+                "device_bench_slices": int(dev_n),
+                "note": (
+                    "value = end-to-end per-volume serving through the "
+                    "tunnel (RTT-bound); device_slices_per_sec = fused "
+                    "K-pass device-side throughput with an argmax-"
+                    "dependent fence (on-site serving rate)."
+                ),
             }
         )
     )

@@ -33,7 +33,6 @@ SHAPES = [
     (32, 64, 32, 32),
     (64, 64, 32, 32),
     (64, 32, 32, 32),
-    (128, 64, 16, 16),
     (16, 16, 64, 50),   # W % J != 0 -> right-pad path
 ]
 
@@ -85,9 +84,11 @@ def test_plan_rejects_losing_and_odd_shapes():
     assert plan_banded(4, 16, 64, 64) is None
     # H that does not block -> rejected
     assert plan_banded(16, 16, 63, 64) is None
+    # (128, 64): the J*C==128 plan only ties the direct lowering -> None
+    assert plan_banded(128, 64, 16, 16) is None
     # the workhorse shapes must be eligible with near-dense tiles
     p = plan_banded(16, 16, 256, 256)
-    assert p is not None and p.j == 6 and p.cost_per_pixel <= 17000
+    assert p is not None and p.j == 8 and p.cost_per_pixel <= 17000
     assert plan_banded(32, 64, 64, 64) is not None
 
 

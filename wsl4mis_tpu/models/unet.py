@@ -25,6 +25,7 @@ training dynamics are comparable.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Any, Sequence
 
@@ -63,6 +64,11 @@ def _uniform_bound(bound: float):
     return init
 
 
+@functools.lru_cache(maxsize=None)
+def _on_tpu() -> bool:
+    return jax.devices()[0].platform in ("tpu", "axon")
+
+
 class _ConvOp(nn.Module):
     """nn.Conv-compatible conv (same param tree: kernel/bias) that can
     route 3x3 small-channel convs through banded-matmul lowerings — the
@@ -76,7 +82,9 @@ class _ConvOp(nn.Module):
         bit-tested vs lax.conv but slower on-chip (HBM regroup
         materialization, round-2 negative result) — kept as the testable
         spec of the banded semantics.
-      * unset/"direct" — lax.conv_general_dilated.
+      * "direct" — lax.conv_general_dilated.
+      * unset — "pallas" on TPU (measured 1.4x step win, RESULTS.md
+        round 3), "direct" elsewhere.
     """
 
     features: int
@@ -95,6 +103,8 @@ class _ConvOp(nn.Module):
         xx = x.astype(self.dtype)
         k = kernel.astype(self.dtype)
         impl = os.environ.get("WSL4MIS_CONV_IMPL")
+        if impl is None:
+            impl = "pallas" if _on_tpu() else "direct"
         if impl == "pallas":
             from ..ops.pallas.banded_conv_pallas import (
                 banded_conv3x3_pallas,
@@ -174,18 +184,24 @@ class _MatmulConvTranspose(nn.Module):
         y = jax.lax.dot_general(
             x.astype(self.dtype), km, (((3,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (N, H, W, 4*O)
-        y = y.reshape(n, h, w, 2, 2, o).transpose(0, 1, 3, 2, 4, 5)
-        y = y.reshape(n, 2 * h, 2 * w, o) + bias
-        return y.astype(self.dtype)
+        )  # (N, H, W, 4*O), columns ordered (a, b, o)
+        # bias + cast BEFORE the interleave so the one real relayout (the
+        # row interleave) moves bf16, not f32 (the f32 transpose copies
+        # were ~1.7 ms/step in the round-3 trace). The width interleave
+        # (w, b, o) -> (2w, o) is lane-order-preserving and free.
+        y = (y + jnp.tile(bias, 4)).astype(self.dtype)
+        ya = y[..., : 2 * o].reshape(n, h, 2 * w, o)
+        yb = y[..., 2 * o:].reshape(n, h, 2 * w, o)
+        return jnp.stack([ya, yb], axis=2).reshape(n, 2 * h, 2 * w, o)
 
 
 class TorchConvTranspose(nn.Module):
     """2x2 stride-2 transposed conv with torch-default init (NHWC).
 
     torch computes fan_in for ConvTranspose2d from weight dim 1
-    (= out_channels * k * k); replicated here. WSL4MIS_TCONV_IMPL=matmul
-    routes through the single-matmul lowering (same param tree).
+    (= out_channels * k * k); replicated here. WSL4MIS_TCONV_IMPL selects
+    "matmul" (single-matmul lowering, same param tree — the TPU default)
+    or "direct" (flax ConvTranspose — the default off-TPU).
     """
 
     features: int
@@ -195,7 +211,10 @@ class TorchConvTranspose(nn.Module):
     def __call__(self, x):
         fan_in = self.features * 2 * 2
         bound = 1.0 / (fan_in ** 0.5)
-        if os.environ.get("WSL4MIS_TCONV_IMPL") == "matmul":
+        impl = os.environ.get("WSL4MIS_TCONV_IMPL")
+        if impl is None:
+            impl = "matmul" if _on_tpu() else "direct"
+        if impl == "matmul":
             return _MatmulConvTranspose(
                 self.features,
                 self.dtype,

@@ -18,11 +18,21 @@ import jax.numpy as jnp
 
 
 def cross_entropy(logits, labels, ignore_index: int | None = None):
-    """torch.nn.CrossEntropyLoss parity: mean NLL over non-ignored pixels."""
+    """torch.nn.CrossEntropyLoss parity: mean NLL over non-ignored pixels.
+
+    The per-pixel class pick is a one-hot contraction, NOT take_along_axis:
+    on TPU the (B*H*W)-point gather (and its scatter-add transpose under
+    grad) serializes on the VPU — a profiler trace measured it at 21.7 ms
+    of the fully_supervised 40 ms step (round-3 trace, fusion.2 at
+    losses.py:25). The one-hot select compiles to vectorized
+    compare+multiply+reduce and costs a bandwidth pass (C=4 channels).
+    """
     logp = jax.nn.log_softmax(logits, axis=-1)
     c = logits.shape[-1]
-    safe_labels = jnp.clip(labels, 0, c - 1)
-    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    onehot = (
+        labels[..., None] == jnp.arange(c, dtype=labels.dtype)
+    ).astype(logp.dtype)
+    nll = -jnp.sum(logp * onehot, axis=-1)
     if ignore_index is None:
         return jnp.mean(nll)
     mask = (labels != ignore_index).astype(nll.dtype)
@@ -45,29 +55,36 @@ def _soft_dice(score, target, smooth=1e-5):
     return 1.0 - (2.0 * intersect + smooth) / (z_sum + y_sum + smooth)
 
 
+def _soft_dice_all(probs, target, smooth=1e-5):
+    """Per-class soft dice vector via one reduction pass.
+
+    All classes reduce together over (B,H,W) — the per-class vmap form
+    lowered to an XLA while-loop of per-class slices (~1.8 ms/step in the
+    round-3 trace, losses.py:52); this is three vectorized reductions.
+    """
+    axes = tuple(range(probs.ndim - 1))
+    intersect = jnp.sum(probs * target, axis=axes)
+    y_sum = jnp.sum(target * target, axis=axes)
+    z_sum = jnp.sum(probs * probs, axis=axes)
+    return 1.0 - (2.0 * intersect + smooth) / (z_sum + y_sum + smooth)
+
+
 def dice_loss(probs, labels, num_classes: int):
     """Multi-class soft Dice, mean over classes (losses.py:156-192)."""
     target = one_hot(labels, num_classes)
-    per_class = jax.vmap(
-        lambda c: _soft_dice(probs[..., c], target[..., c])
-    )(jnp.arange(num_classes))
-    return jnp.mean(per_class)
+    return jnp.mean(_soft_dice_all(probs, target))
 
 
 def pdice_loss(probs, labels, num_classes: int, ignore_index: int = 4):
-    """Partial (annotation-masked) Dice — pDLoss (losses.py:195-232)."""
-    mask = (labels != ignore_index).astype(jnp.float32)
+    """Partial (annotation-masked) Dice — pDLoss (losses.py:195-232).
+
+    The reference multiplies each of the three sums by the ignore mask;
+    masking score and target once is algebraically identical for the 0/1
+    mask (losses.py:209-217).
+    """
+    mask = (labels != ignore_index).astype(jnp.float32)[..., None]
     target = one_hot(labels, num_classes)
-
-    def per_class(c):
-        score = probs[..., c] * mask
-        tgt = target[..., c] * mask
-        # reference multiplies each of the three sums by the ignore mask;
-        # masking score and target once is algebraically identical for the
-        # 0/1 mask (losses.py:209-217).
-        return _soft_dice(score, tgt)
-
-    return jnp.mean(jax.vmap(per_class)(jnp.arange(num_classes)))
+    return jnp.mean(_soft_dice_all(probs * mask, target * mask))
 
 
 def entropy_loss(probs, num_classes: int):
@@ -210,9 +227,15 @@ def size_loss(logits, target, margin: float = 0.1):
 
 def focal_loss(logits, labels, gamma: float = 2.0, alpha=None):
     """FocalLoss parity (losses.py:119-153), mean reduction."""
-    logp = jax.nn.log_softmax(logits.reshape(-1, logits.shape[-1]), axis=-1)
+    c = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.reshape(-1, c), axis=-1)
     flat = labels.reshape(-1)
-    lp = jnp.take_along_axis(logp, flat[:, None], axis=-1)[:, 0]
+    # one-hot contraction, not take_along_axis (TPU gather — see
+    # cross_entropy above for the measured cost)
+    onehot = (flat[:, None] == jnp.arange(c, dtype=flat.dtype)).astype(
+        logp.dtype
+    )
+    lp = jnp.sum(logp * onehot, axis=-1)
     pt = jax.lax.stop_gradient(jnp.exp(lp))
     if alpha is not None:
         at = jnp.asarray(alpha)[flat]

@@ -8,26 +8,36 @@ that is ~7% tile occupancy and the padded-FLOP cost of the train step is
 ~4x its true FLOPs. ops/banded_conv.py re-expresses the conv as banded
 matmuls with near-dense tiles, but its graph-level jnp formulation
 materializes the regrouped activations in HBM and measured *slower*
-(50 -> 213 ms/step, round-2 negative result). This module builds the
-banded A-tiles **inside VMEM**, which is the whole trick:
+(50 -> 213 ms/step, round-2 negative result). This kernel builds the
+banded A-tiles **inside VMEM**, which is the whole trick.
 
-  * flatten each padded row's (W, C) into one W*C lane vector; the
-    overlapping P-pixel input group g (P = J+2) is then the flat window
-    [g*J*C, g*J*C + P*C) — an overlapping slide of stride J*C;
-  * in-kernel, reshape the row to chunks of size chunk = C*gcd(J,P) and
-    assemble A[g] from nparts *unit-stride* chunk slices (no gathers, no
-    strided slices — Mosaic-friendly register shuffles);
-  * concatenate the three dy row-shifted views of A along the contraction
-    dim: one dot per block, (BH*G, 3*P*C) @ (3*P*C, J*O), f32 accumulate.
-    For C=16, O=16, J=6 that is K=384, N=96: ~3.6x padded FLOPs vs the
-    direct lowering's ~14x;
-  * the H halo comes from passing the input twice with block index maps
-    (h) and (h+1) and concatenating two rows in-kernel — standard Pallas
-    pipelining, no manual DMA;
-  * custom VJP: dx is the same forward kernel applied to the cotangent
-    with the rotated/transposed kernel; dk is a wgrad kernel computing
-    dWb = A3^T @ g_grouped accumulated over the whole grid (a dense
-    (3PC x M)@(M x JO) matmul), band entries extracted outside.
+Layout: flatten each padded row's (W, C) into one W*C lane vector and fix
+the group width at J = 128/C output pixels, so a group's input window
+(P = J+2 pixels = 128 + 2C lanes) starts exactly at lane 128*g. In-kernel
+the only shape cast is (rows, L) -> (rows, L/128, 128) — an exact
+128-lane split, the one relayout Mosaic supports (the first version used
+a 96-lane split and was rejected by infer-vector-layout). Window pieces
+are then:
+
+  * nfull whole 128-lane blocks at unit-stride group offsets
+    b5[:, f+g, :], f in 0..nfull-1;
+  * a rem = 2C-lane tail at lane offset 0 of block g+nfull.
+
+One (BH*G, 128) @ (128, J*O) dot per (dy, piece), f32-accumulated; the
+three dy taps are row-shifted views of the same VMEM buffer. The three
+dy tails merge lane-wise into one K=3*rem dot (WSL4MIS_BANDED_TAILS=split
+falls back to three K=rem dots if the lane concat ever misbehaves).
+For C=16, O=16 this is ~3.6x-padded FLOPs vs the direct lowering's ~14x.
+The H halo comes from passing the input twice with block index maps (h)
+and (h+1) — standard Pallas pipelining, no manual DMA.
+
+Custom VJP: dgrad reuses the forward kernel with the rotated,
+channel-swapped kernel (falling back to lax.conv when the reverse
+direction has no winning plan); wgrad is a second kernel accumulating
+dWb = A3^T @ g_grouped over the whole grid — a dense (3PC x M)@(M x JO)
+matmul — with band entries extracted outside (each kernel tap appears at
+J band positions; off-band cotangents correspond to structural zeros and
+are discarded).
 
 Semantics: SAME-padded, stride-1, cross-correlation with HWIO kernels —
 identical (up to f32 accumulation order) to
@@ -38,7 +48,7 @@ tests/test_banded_pallas.py in interpreter mode.
 from __future__ import annotations
 
 import functools
-import math
+import os
 from dataclasses import dataclass
 
 import jax
@@ -56,19 +66,21 @@ class Plan:
     o: int          # output channels
     h: int
     w: int
-    j: int          # output pixels per group
+    j: int          # output pixels per group (J*C == 128)
     p: int          # input pixels per group (= j + 2)
     bh: int         # output rows per grid cell
     g: int          # groups per row
-    chunk: int      # flat-row chunk size (= c * gcd(j, p))
-    stride: int     # chunks per group stride (= j*c / chunk)
-    nparts: int     # chunks per window (= p*c / chunk)
-    dim1: int       # padded chunk-rows of the reshaped flat row
-    l: int          # padded flat row length (= stride * chunk * dim1)
+    nfull: int      # whole 128-lane blocks per window
+    rem: int        # tail lanes per window (= 2C when < 128, else 0)
+    l: int          # padded flat row length in lanes (= 128*(g + nfull))
 
     @property
     def cost_per_pixel(self) -> float:
-        return 2.0 * _ceil128(3 * self.p * self.c) * _ceil128(self.j * self.o) / self.j
+        n_hat = _ceil128(self.j * self.o)
+        cost = 3 * self.nfull * 2 * 128 * n_hat
+        if self.rem:
+            cost += 2 * _ceil128(3 * self.rem) * n_hat
+        return cost / self.j
 
 
 def _direct_cost_per_pixel(c: int, o: int) -> float:
@@ -77,56 +89,48 @@ def _direct_cost_per_pixel(c: int, o: int) -> float:
 
 @functools.lru_cache(maxsize=None)
 def plan_banded(c: int, o: int, h: int, w: int) -> Plan | None:
-    """Choose the banded configuration for a (C,O,H,W) 3x3 conv, or None
-    when the direct lowering is already close to dense (C >= 128ish) or
-    the shape doesn't block cleanly."""
+    """Banded configuration for a (C,O,H,W) 3x3 conv, or None when the
+    direct lowering is within 15% (C >= 128ish) or the shape doesn't
+    block cleanly. J is fixed by J*C == 128 (see module docstring)."""
+    if 128 % c or not (8 <= c <= 128):
+        return None
+    j = 128 // c
     bh = None
     for cand in (32, 16, 8, 4, 2):
         if h % cand == 0:
             bh = cand
             break
-    if bh is None or h < 2:
+    if bh is None or h < 2 or j > w:
         return None
-    best = None
-    for j in (1, 2, 3, 4, 6, 8, 12, 16):
-        p = j + 2
-        chunk = c * math.gcd(j, p)
-        if chunk < 32 or chunk % 8:
-            continue  # lane-layout too fragmented for VMEM shuffles
-        if j > w:
-            continue
-        g = -(-w // j)
-        if g < 2:
-            continue
-        stride = (j * c) // chunk
-        nparts = (p * c) // chunk
-        dim1 = (nparts - 1) // stride + g
-        l = stride * chunk * dim1
-        if l < (p + j * (g - 1)) * c:  # must cover the last window
-            dim1 += 1
-            l = stride * chunk * dim1
-        plan = Plan(c, o, h, w, j, p, bh, g, chunk, stride, nparts, dim1, l)
-        # VMEM guard: rows + A + A3 + out, double-buffered inputs
-        vmem = (bh + 2) * l * 2 * 2 + bh * g * (4 * p * c) * 2 + bh * g * _ceil128(j * o) * 4
-        if vmem > 12 * 2 ** 20:
-            continue
-        if best is None or plan.cost_per_pixel < best.cost_per_pixel:
-            best = plan
-    if best is None:
+    p = j + 2
+    g = -(-w // j)
+    if g < 2:
         return None
-    if best.cost_per_pixel > 0.85 * _direct_cost_per_pixel(c, o):
-        return None  # no meaningful win over the direct lowering
-    return best
+    window = p * c  # = 128 + 2c
+    nfull, rem = window // 128, window % 128
+    l = 128 * (g + nfull)  # max dim1 index used is g + nfull - 1
+    plan = Plan(c, o, h, w, j, p, bh, g, nfull, rem, l)
+    # VMEM guard: double-buffered row blocks + accumulator + weights
+    vmem = (
+        2 * 2 * (bh + 2) * l * 2
+        + bh * g * _ceil128(j * o) * 4
+        + 3 * window * j * o * 4
+    )
+    if vmem > 12 * 2 ** 20:
+        return None
+    if plan.cost_per_pixel > 0.85 * _direct_cost_per_pixel(c, o):
+        return None
+    return plan
 
 
 def band_weights3(kernel: jnp.ndarray, plan: Plan) -> jnp.ndarray:
     """(3, 3, C, O) HWIO -> (3*P*C, J*O) stacked banded matrix.
 
-    Row layout matches the kernel's A3 concat: [dy=0 | dy=1 | dy=2] blocks
-    of P*C rows each; within a block, rows (p*C + i) map to input pixel
-    offset p of the window, columns (j*O + o) to output pixel j. The band
-    is k[dy, p-j, i, o] for p-j in {0,1,2}. Built with static indices so
-    the structure is a compile-time constant; values flow differentiably.
+    Row layout matches the kernel's piece slicing: [dy=0 | dy=1 | dy=2]
+    blocks of P*C rows; within a block, row (p*C + i) is input pixel
+    offset p of the window, column (j*O + o) is output pixel j. The band
+    is k[dy, p-j, i, o] for p-j in {0,1,2}. Static indices: the structure
+    is a compile-time constant; values flow differentiably.
     """
     kh, kw, c, o = kernel.shape
     assert kh == 3 and kw == 3
@@ -139,12 +143,7 @@ def band_weights3(kernel: jnp.ndarray, plan: Plan) -> jnp.ndarray:
 
 
 def unband_grad(dwb: jnp.ndarray, plan: Plan) -> jnp.ndarray:
-    """(3*P*C, J*O) banded-weight cotangent -> (3, 3, C, O) kernel grad.
-
-    Each kernel tap appears at J band positions; their cotangents sum.
-    Off-band entries of dwb correspond to structural zeros and are
-    (correctly) discarded.
-    """
+    """(3*P*C, J*O) banded-weight cotangent -> (3, 3, C, O) kernel grad."""
     p, j, c, o = plan.p, plan.j, plan.c, plan.o
     r = dwb.reshape(3, p, c, j, o)
     taps = []
@@ -153,43 +152,66 @@ def unband_grad(dwb: jnp.ndarray, plan: Plan) -> jnp.ndarray:
     return jnp.stack(taps, axis=1)  # (3, 3, C, O)
 
 
-def _build_a3(rows: jnp.ndarray, plan: Plan) -> jnp.ndarray:
-    """(BH+2, L) flat rows -> (BH, G, 3*P*C) banded activation tiles.
+def _merge_tails() -> bool:
+    return os.environ.get("WSL4MIS_BANDED_TAILS", "merged") != "split"
 
-    Window g of row r is rows[r, g*J*C : g*J*C + P*C]; assembled from
-    nparts unit-stride chunk slices of the (dim1, stride*chunk) reshape,
-    then the three dy taps are the three row-shifted views stacked along
-    the contraction dim.
-    """
-    bh2 = rows.shape[0]
-    bh = bh2 - 2
-    b4 = rows.reshape(bh2, plan.dim1, plan.stride * plan.chunk)
-    parts = []
-    for j in range(plan.nparts):
-        r0 = j // plan.stride
-        c0 = (j % plan.stride) * plan.chunk
-        parts.append(
-            jax.lax.slice(
-                b4,
-                (0, r0, c0),
-                (bh2, r0 + plan.g, c0 + plan.chunk),
+
+def _window_pieces(b5, plan: Plan):
+    """Yield (dy, a_block, wb_row_offset, k_width) pieces of the banded
+    activation: per dy, nfull unit-stride 128-lane blocks and (handled by
+    the caller) the rem-lane tail."""
+    bh = plan.bh
+    for dy in range(3):
+        base = dy * plan.p * plan.c
+        for f in range(plan.nfull):
+            yield (
+                b5[dy:dy + bh, f:f + plan.g, :],
+                base + f * 128,
+                128,
             )
-        )
-    a = jnp.concatenate(parts, axis=-1)  # (BH+2, G, P*C)
-    return jnp.concatenate([a[0:bh], a[1:bh + 1], a[2:bh + 2]], axis=-1)
 
 
 def _fwd_kernel(x0_ref, x1_ref, w_ref, b_ref, out_ref, *, plan: Plan):
+    # The accumulator/output stay 3-D (BH, G, Nhat) with Nhat 128-padded:
+    # Mosaic rejects lane-collapsing reshapes like (BH, G, 64)->(BH, G*64)
+    # (infer-vector-layout "unsupported shape cast", hit on the 32->16
+    # decoder conv); the wrapper does the slice+flatten in XLA where it
+    # fuses into the consumer.
+    bh, g, n = plan.bh, plan.g, _ceil128(plan.j * plan.o)
     rows = jnp.concatenate([x0_ref[0], x1_ref[0][:2]], axis=0)
-    a3 = _build_a3(rows, plan)  # (BH, G, 3PC)
-    acc = jax.lax.dot_general(
-        a3, w_ref[...],
-        (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (BH, G, J*O)
+    b5 = rows.reshape(bh + 2, plan.l // 128, 128)
+    acc = jnp.zeros((bh, g, n), jnp.float32)
+    for a, row0, width in _window_pieces(b5, plan):
+        acc = acc + jax.lax.dot_general(
+            a, w_ref[row0:row0 + width, :],
+            (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    if plan.rem:
+        tails = [
+            b5[dy:dy + bh, plan.nfull:plan.nfull + g, :plan.rem]
+            for dy in range(3)
+        ]
+        wt = [
+            w_ref[dy * plan.p * plan.c + plan.nfull * 128:
+                  dy * plan.p * plan.c + plan.nfull * 128 + plan.rem, :]
+            for dy in range(3)
+        ]
+        if _merge_tails():
+            acc = acc + jax.lax.dot_general(
+                jnp.concatenate(tails, axis=-1),
+                jnp.concatenate(wt, axis=0),
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            for t, wpiece in zip(tails, wt):
+                acc = acc + jax.lax.dot_general(
+                    t, wpiece, (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
     acc = acc + b_ref[0].astype(jnp.float32)
-    out = acc.reshape(plan.bh, plan.g * plan.j * plan.o)
-    out_ref[0] = out[:, : plan.w * plan.o].astype(out_ref.dtype)
+    out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def _wgrad_kernel(x0_ref, x1_ref, g_ref, acc_ref, *, plan: Plan):
@@ -197,24 +219,36 @@ def _wgrad_kernel(x0_ref, x1_ref, g_ref, acc_ref, *, plan: Plan):
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    bh, g, n = plan.bh, plan.g, _ceil128(plan.j * plan.o)
     rows = jnp.concatenate([x0_ref[0], x1_ref[0][:2]], axis=0)
-    a3 = _build_a3(rows, plan)  # (BH, G, 3PC)
-    gg = g_ref[0]  # (BH, W*O)
-    pad = plan.g * plan.j * plan.o - plan.w * plan.o
-    if pad:
-        gg = jnp.pad(gg, ((0, 0), (0, pad)))
-    part = jax.lax.dot_general(
-        a3.reshape(plan.bh * plan.g, 3 * plan.p * plan.c),
-        gg.reshape(plan.bh * plan.g, plan.j * plan.o),
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (3PC, JO)
-    acc_ref[...] += part
+    b5 = rows.reshape(bh + 2, plan.l // 128, 128)
+    # cotangent arrives pre-grouped and lane-padded (BH, G, Nhat) from the
+    # wrapper (the in-kernel lane split (BH, G*n)->(BH*G, n) is the same
+    # unsupported cast class as the fwd flatten); collapsing the leading
+    # dims keeps the 128-lane minor intact.
+    gg = g_ref[0].reshape(bh * g, n).astype(b5.dtype)
+    for a, row0, width in _window_pieces(b5, plan):
+        part = jax.lax.dot_general(
+            a.reshape(bh * g, width), gg,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (width, N)
+        acc_ref[row0:row0 + width, :] += part
+    if plan.rem:
+        for dy in range(3):
+            t = b5[dy:dy + bh, plan.nfull:plan.nfull + g, :plan.rem]
+            part = jax.lax.dot_general(
+                t.reshape(bh * g, plan.rem), gg,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            row0 = dy * plan.p * plan.c + plan.nfull * 128
+            acc_ref[row0:row0 + plan.rem, :] += part
 
 
 def _pad_flat(x: jnp.ndarray, plan: Plan) -> jnp.ndarray:
     """(N,H,W,C) -> (N, H+BH, L) flat padded rows: 1 left pixel, right
-    zeros to L; 1 top row, BH-1 bottom rows (1 real halo + block slack)."""
+    zeros to L lanes; 1 top row, BH-1 bottom rows (halo + block slack)."""
     n, h, w, c = x.shape
     xp = jnp.pad(
         x, ((0, 0), (1, plan.bh - 1), (1, plan.l // c - 1 - w), (0, 0))
@@ -223,48 +257,75 @@ def _pad_flat(x: jnp.ndarray, plan: Plan) -> jnp.ndarray:
 
 
 def _fwd_call(x, wb, btile, plan: Plan, interpret: bool):
-    n, h = x.shape[0], x.shape[1]
-    xf = _pad_flat(x, plan)
+    return _fwd_call_padded(_pad_flat(x, plan), wb, btile, plan, interpret)
+
+
+def _fwd_call_padded(xf, wb, btile, plan: Plan, interpret: bool):
+    """wb: (3PC, Nhat) lane-padded banded weights; btile: (1, Nhat);
+    xf: _pad_flat output (shared with wgrad via the VJP residual so the
+    pad isn't re-materialized in the backward pass)."""
+    n, h = xf.shape[0], xf.shape[1] - plan.bh
+    nhat = _ceil128(plan.j * plan.o)
     grid = (n, h // plan.bh)
-    return pl.pallas_call(
+    out4 = pl.pallas_call(
         functools.partial(_fwd_kernel, plan=plan),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, plan.bh, plan.l), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, plan.bh, plan.l), lambda i, j: (i, j + 1, 0)),
-            pl.BlockSpec((3 * plan.p * plan.c, plan.j * plan.o),
-                         lambda i, j: (0, 0)),
-            pl.BlockSpec((1, plan.j * plan.o), lambda i, j: (0, 0)),
+            pl.BlockSpec((3 * plan.p * plan.c, nhat), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, nhat), lambda i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, plan.bh, plan.w * plan.o),
-                               lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, h, plan.w * plan.o), x.dtype),
+        out_specs=pl.BlockSpec((1, plan.bh, plan.g, nhat),
+                               lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, h, plan.g, nhat), xf.dtype),
         interpret=interpret,
-    )(xf, xf, wb, btile).reshape(n, h, plan.w, plan.o)
+    )(xf, xf, wb, btile)
+    # XLA-side unpack (fuses into the consumer): drop the lane padding,
+    # flatten groups, drop the right-edge pixel padding.
+    y = out4[..., : plan.j * plan.o].reshape(
+        n, h, plan.g * plan.j, plan.o
+    )
+    return y[:, :, : plan.w, :]
 
 
-def _wgrad_call(x, g, plan: Plan, interpret: bool):
-    n, h = x.shape[0], x.shape[1]
-    xf = _pad_flat(x, plan)
-    gf = g.reshape(n, h, plan.w * plan.o)
+def _group_cotangent(g_arr, plan: Plan):
+    """(N,H,W,O) cotangent -> (N,H,G,Nhat) grouped + lane-padded."""
+    n, h = g_arr.shape[0], g_arr.shape[1]
+    nn = plan.j * plan.o
+    gf = jnp.pad(
+        g_arr.reshape(n, h, plan.w * plan.o),
+        ((0, 0), (0, 0), (0, plan.g * nn - plan.w * plan.o)),
+    ).reshape(n, h, plan.g, nn)
+    return jnp.pad(
+        gf, ((0, 0), (0, 0), (0, 0), (0, _ceil128(nn) - nn))
+    )
+
+
+def _wgrad_call(xf, g, plan: Plan, interpret: bool):
+    """xf: pre-padded flat rows (the forward's _pad_flat, reused)."""
+    n, h = xf.shape[0], xf.shape[1] - plan.bh
+    nhat = _ceil128(plan.j * plan.o)
+    gf = _group_cotangent(g, plan)
     grid = (n, h // plan.bh)
-    return pl.pallas_call(
+    dwb = pl.pallas_call(
         functools.partial(_wgrad_kernel, plan=plan),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, plan.bh, plan.l), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, plan.bh, plan.l), lambda i, j: (i, j + 1, 0)),
-            pl.BlockSpec((1, plan.bh, plan.w * plan.o),
-                         lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, plan.bh, plan.g, nhat),
+                         lambda i, j: (i, j, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (3 * plan.p * plan.c, plan.j * plan.o), lambda i, j: (0, 0)
+            (3 * plan.p * plan.c, nhat), lambda i, j: (0, 0)
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (3 * plan.p * plan.c, plan.j * plan.o), jnp.float32
+            (3 * plan.p * plan.c, nhat), jnp.float32
         ),
         interpret=interpret,
     )(xf, xf, gf)
+    return dwb[:, : plan.j * plan.o]
 
 
 def _rot_kernel(k: jnp.ndarray) -> jnp.ndarray:
@@ -279,36 +340,47 @@ def _direct_conv(x, k):
     )
 
 
+def _pad_n(arr2d, plan: Plan):
+    nn = plan.j * plan.o
+    return jnp.pad(arr2d, ((0, 0), (0, _ceil128(nn) - nn)))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _banded_conv(interpret: bool, x, kernel, bias):
     plan = plan_banded(x.shape[3], kernel.shape[3], x.shape[1], x.shape[2])
-    wb = band_weights3(kernel, plan)
-    btile = jnp.tile(bias, plan.j)[None]
+    wb = _pad_n(band_weights3(kernel, plan), plan)
+    btile = _pad_n(jnp.tile(bias, plan.j)[None], plan)
     return _fwd_call(x, wb, btile, plan, interpret)
 
 
 def _banded_conv_fwd(interpret, x, kernel, bias):
-    return _banded_conv(interpret, x, kernel, bias), (x, kernel)
+    plan = plan_banded(x.shape[3], kernel.shape[3], x.shape[1], x.shape[2])
+    wb = _pad_n(band_weights3(kernel, plan), plan)
+    btile = _pad_n(jnp.tile(bias, plan.j)[None], plan)
+    xf = _pad_flat(x, plan)
+    out = _fwd_call_padded(xf, wb, btile, plan, interpret)
+    # residual is the PADDED flat rows: the wgrad kernel consumes the same
+    # layout, so the backward pass skips a full-tensor re-pad+reshape
+    # (~1 ms/step of "data formatting" in the round-3 trace).
+    return out, (xf, kernel)
 
 
 def _banded_conv_bwd(interpret, res, g):
-    x, kernel = res
-    plan = plan_banded(x.shape[3], kernel.shape[3], x.shape[1], x.shape[2])
-    # dgrad: transposed conv == SAME conv of the cotangent with the
-    # rotated, channel-swapped kernel; use the banded kernel when the
-    # reverse (O->C) direction has a winning plan, else the XLA conv.
+    xf, kernel = res
+    c, o = kernel.shape[2], kernel.shape[3]
+    plan = plan_banded(c, o, g.shape[1], g.shape[2])
     krot = _rot_kernel(kernel).astype(g.dtype)
     rplan = plan_banded(plan.o, plan.c, plan.h, plan.w)
     if rplan is not None:
-        wb = band_weights3(krot, rplan)
-        zb = jnp.zeros((1, rplan.j * rplan.o), krot.dtype)
+        wb = _pad_n(band_weights3(krot, rplan), rplan)
+        zb = jnp.zeros((1, _ceil128(rplan.j * rplan.o)), krot.dtype)
         dx = _fwd_call(g, wb, zb, rplan, interpret)
     else:
         dx = _direct_conv(g, krot)
-    dwb = _wgrad_call(x, g.astype(x.dtype), plan, interpret)
+    dwb = _wgrad_call(xf, g.astype(xf.dtype), plan, interpret)
     dk = unband_grad(dwb, plan).astype(kernel.dtype)
     db = jnp.sum(g.astype(jnp.float32), axis=(0, 1, 2)).astype(g.dtype)
-    return dx.astype(x.dtype), dk, db
+    return dx.astype(xf.dtype), dk, db
 
 
 _banded_conv.defvjp(_banded_conv_fwd, _banded_conv_bwd)
