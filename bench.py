@@ -90,14 +90,36 @@ def _peak_flops() -> float | None:
 
 
 def _step_flops(step, state, batch, rng, aux) -> float | None:
-    """XLA cost-analysis FLOPs of one compiled train step."""
+    """TRUE model FLOPs of one train step, via XLA cost analysis.
+
+    Cost analysis cannot see inside Pallas custom-calls, so the step is
+    re-traced with the direct (pure-XLA) conv/pool lowerings for the flop
+    count only — cost analysis charges convs their algebraic FLOPs
+    (2*N*H*W*K*K*C*O, no MXU padding), so this is the same true-FLOP
+    model used by the round-2 roofline, now independent of which ops the
+    production step routes through Pallas."""
+    override = {"WSL4MIS_CONV_IMPL": "direct", "WSL4MIS_POOL_IMPL": "direct"}
+    saved = {k: os.environ.get(k) for k in override}
+    os.environ.update(override)
     try:
-        analysis = step.lower(state, batch, rng, aux).compile().cost_analysis()
+        lowered = step.lower(state, batch, rng, aux)
+        try:
+            # Optimized-HLO analysis (matches the round-2 number's basis;
+            # the XLA compile cache makes this cheap).
+            analysis = lowered.compile().cost_analysis()
+        except Exception:
+            analysis = lowered.cost_analysis()
         if isinstance(analysis, (list, tuple)):  # older jax returns [dict]
             analysis = analysis[0]
         return float(analysis["flops"])
     except Exception:
         return None
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
 
 def main():

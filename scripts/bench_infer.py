@@ -33,7 +33,7 @@ DTYPE = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
 
 
 def _device_throughput(model, variables, vols, reps: int = 8,
-                       chunk: int = 32):
+                       chunk: int = 32, apply_kwargs=None):
     """Device-side serving throughput (VERDICT round-2 item 8).
 
     All fold slices are staged in HBM once, chunked, and `reps` passes run
@@ -57,7 +57,9 @@ def _device_throughput(model, variables, vols, reps: int = 8,
     xall = jax.device_put(x.reshape(n // chunk, chunk, 256, 256, 1))
 
     def fwd(xb):
-        out = model.apply(variables, xb.astype(DTYPE), train=False)
+        out = model.apply(
+            variables, xb.astype(DTYPE), train=False, **(apply_kwargs or {})
+        )
         logits = out[0] if isinstance(out, (tuple, list)) else out
         return jnp.argmax(logits, axis=-1)
 
@@ -82,11 +84,39 @@ def _device_throughput(model, variables, vols, reps: int = 8,
 
 
 def main():
-    model = net_factory(MODEL, class_num=4, dtype=DTYPE)
-    variables = init_model(model, jax.random.key(0), (1, 256, 256, 1))
-    variables = {k: variables[k] for k in ("params", "batch_stats")
-                 if k in variables}
-    predictor = VolumePredictor(model, (256, 256))
+    apply_kwargs = {}
+    if MODEL == "scribblevc":
+        # Not a net_factory model: serving uses the test-time rule
+        # (mean-softmax of the two heads, no class-memory injection —
+        # test_ACDC_scribblevc.py protocol). Random weights; throughput
+        # only depends on the architecture.
+        from wsl4mis_tpu.models.scribblevc import ScribbleVC
+
+        model = ScribbleVC(num_classes=4, dtype=DTYPE)
+        variables = dict(
+            model.init(
+                {"params": jax.random.key(0), "dropout": jax.random.key(0)},
+                jnp.zeros((1, 256, 256, 1), jnp.float32), train=False,
+            )
+        )
+        variables.pop("intermediates", None)
+        apply_kwargs = {"use_class_rep": False}
+
+        def mean_softmax(out):
+            p1 = jax.nn.softmax(out[0], axis=-1)
+            p2 = jax.nn.softmax(out[1], axis=-1)
+            return jnp.argmax(0.5 * (p1 + p2), axis=-1).astype(jnp.int32)
+
+        predictor = VolumePredictor(
+            model, (256, 256), decision_fn=mean_softmax,
+            apply_kwargs=apply_kwargs,
+        )
+    else:
+        model = net_factory(MODEL, class_num=4, dtype=DTYPE)
+        variables = init_model(model, jax.random.key(0), (1, 256, 256, 1))
+        variables = {k: variables[k] for k in ("params", "batch_stats")
+                     if k in variables}
+        predictor = VolumePredictor(model, (256, 256))
     vols = AcdcVolumeDataset(fold="fold1", limit=20)
     n_slices = sum(v["image"].shape[0] for v in vols)
 
@@ -100,7 +130,9 @@ def main():
     np.asarray(pred)  # predict_volume already returns host arrays
     wall = time.perf_counter() - t0
 
-    dev_sps, dev_n = _device_throughput(model, variables, vols)
+    dev_sps, dev_n = _device_throughput(
+        model, variables, vols, apply_kwargs=apply_kwargs
+    )
     print(
         json.dumps(
             {

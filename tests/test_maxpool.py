@@ -1,0 +1,59 @@
+"""Bit-parity of the fused 2x2 max pool against flax's reduce-window
+path — forward and gradient, including the tie-routing (select-and-
+scatter scatters to the FIRST max in row-major window order, and
+post-ReLU maps tie at 0.0 constantly)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from wsl4mis_tpu.ops.maxpool import max_pool_2x2
+
+
+def _ref_pool(x):
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 8, 3), (3, 16, 12, 5)])
+def test_forward_bit_equal(shape):
+    x = jax.random.normal(jax.random.key(0), shape, jnp.float32)
+    np.testing.assert_array_equal(max_pool_2x2(x), _ref_pool(x))
+
+
+@pytest.mark.parametrize("quantize", [False, True])
+def test_grad_bit_equal(quantize):
+    x = jax.random.normal(jax.random.key(1), (2, 12, 16, 4), jnp.float32)
+    if quantize:
+        # Heavy ties (incl. whole windows of equal values), the post-ReLU
+        # regime where first-max routing actually matters.
+        x = jnp.round(x)
+        x = jnp.maximum(x, 0.0)
+    g = jax.random.normal(jax.random.key(2), (2, 6, 8, 4), jnp.float32)
+
+    def loss(pool, xx):
+        return jnp.vdot(pool(xx), g)
+
+    dx_fused = jax.grad(lambda xx: loss(max_pool_2x2, xx))(x)
+    dx_ref = jax.grad(lambda xx: loss(_ref_pool, xx))(x)
+    np.testing.assert_array_equal(dx_fused, dx_ref)
+
+
+def test_grad_all_tied_window():
+    """A fully-tied window must send the whole cotangent to tap (0,0)."""
+    x = jnp.zeros((1, 2, 2, 1), jnp.float32)
+    dx = jax.grad(lambda xx: jnp.sum(max_pool_2x2(xx)))(x)
+    expect = np.zeros((1, 2, 2, 1), np.float32)
+    expect[0, 0, 0, 0] = 1.0
+    np.testing.assert_array_equal(dx, expect)
+    dx_ref = jax.grad(lambda xx: jnp.sum(_ref_pool(xx)))(x)
+    np.testing.assert_array_equal(dx_ref, expect)
+
+
+def test_bf16_forward():
+    x = jax.random.normal(jax.random.key(3), (2, 8, 8, 4)).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(max_pool_2x2(x), np.float32),
+        np.asarray(_ref_pool(x), np.float32),
+    )

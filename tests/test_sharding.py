@@ -72,6 +72,37 @@ def _tree_allclose(t1, t2, atol):
         np.testing.assert_allclose(a, b, atol=atol)
 
 
+# ScribbleVC's class-memory prototypes come out of a batch contraction
+# (einsum "bi,bhwc->ihwc") whose intermediate products reach ~1e4 (logits
+# ~1e2 x features ~1e1 x pixels), so the sharded reduction's f32
+# reassociation noise is eps * intermediate ~ 1e-2 ABSOLUTE regardless of
+# the final entry's size (measured: max 0.013 after one memory step). A
+# flipped discrete gate (is-class-max / sigmoid<0.5) instead zeroes or
+# injects a whole prototype row — an O(1)-O(200) jump. So: loose atol for
+# reassociation, a hard 0.5 ceiling as the gate-flip detector.
+MEMORY_REASSOC_ATOL = 0.05
+GATE_FLIP_FLOOR = 0.5
+
+
+def _extra_allclose(t1, t2, atol):
+    f1 = jax.tree_util.tree_flatten_with_path(jax.tree.map(np.asarray, t1))[0]
+    f2 = jax.tree.leaves(jax.tree.map(np.asarray, t2))
+    assert len(f1) == len(f2)
+    for (path, a), b in zip(f1, f2):
+        name = jax.tree_util.keystr(path)
+        if "hist_conv" in name or "hist_tran" in name:
+            worst = float(np.max(np.abs(a - b)))
+            assert worst < GATE_FLIP_FLOOR, (
+                f"{name}: diff {worst} — a discrete memory gate flipped "
+                "between single-device and mesh execution"
+            )
+            np.testing.assert_allclose(
+                a, b, atol=MEMORY_REASSOC_ATOL, err_msg=name
+            )
+        else:
+            np.testing.assert_allclose(a, b, atol=atol, err_msg=name)
+
+
 def _run_parity(method, param_atol=1e-4, advance_step: int | None = None):
     """Single-device step vs 8-device sharded step: params, extra state,
     and loss must agree to float tolerance.
@@ -123,9 +154,17 @@ def _run_parity(method, param_atol=1e-4, advance_step: int | None = None):
     # logits legitimately drifts ~2e-5 relative (measured).
     _tree_allclose(state1.params, state2.params, atol=param_atol)
     if state1.extra is not None:
-        _tree_allclose(state1.extra, state2.extra, atol=param_atol)
+        _extra_allclose(state1.extra, state2.extra, atol=param_atol)
     l1, l2 = float(m1["total_loss"]), float(m2["total_loss"])
     assert abs(l1 - l2) / max(1.0, abs(l1)) < 1e-4, (l1, l2)
+    # Gate decisions must agree EXACTLY: proto_acc_* is derived from the
+    # same argmax-vs-own-class compare the memory masking uses, so any
+    # reassociation-flipped gate shows up here as a 1/ncls jump.
+    for key in ("proto_acc_conv", "proto_acc_tran"):
+        if key in m1:
+            assert float(m1[key]) == float(m2[key]), (
+                key, float(m1[key]), float(m2[key])
+            )
     return bundle2, state2, mesh
 
 

@@ -232,6 +232,23 @@ class TorchConvTranspose(nn.Module):
         )(x)
 
 
+def _max_pool_2x2(x):
+    """2x2/stride-2 max pool. WSL4MIS_POOL_IMPL selects "fused" (strided
+    slices + elementwise max, first-max custom VJP — ops/maxpool.py; the
+    TPU default: reduce-window/select-and-scatter pick a batch-minor
+    layout that forces relayout copies against the Pallas conv calls) or
+    "direct" (nn.max_pool — the default off-TPU). Bit-parity tested in
+    tests/test_maxpool.py."""
+    impl = os.environ.get("WSL4MIS_POOL_IMPL")
+    if impl is None:
+        impl = "fused" if _on_tpu() else "direct"
+    if impl == "fused" and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        from ..ops.maxpool import max_pool_2x2
+
+        return max_pool_2x2(x)
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
 class ConvBlock(nn.Module):
     features: int
     dropout_p: float
@@ -269,7 +286,7 @@ class Encoder(nn.Module):
         x = ConvBlock(self.features[0], self.dropout[0], self.dtype)(x, train=train)
         feats.append(x)
         for ch, p in zip(self.features[1:], self.dropout[1:]):
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = _max_pool_2x2(x)
             x = ConvBlock(ch, p, self.dtype)(x, train=train)
             feats.append(x)
         return feats
