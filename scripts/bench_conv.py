@@ -53,7 +53,7 @@ SHAPES = [
     (16, 4, 256, 256),
 ]
 BATCH = int(os.environ.get("BENCH_BATCH", "24"))
-K = int(os.environ.get("BENCH_K", "50"))
+K = int(os.environ.get("BENCH_K", "200"))  # RTT/K share ~0.2-0.4 ms/iter at 50; 200 amortizes it below the smallest conv
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 
 
@@ -103,9 +103,17 @@ def bench_shape(c, o, h, w, impl, fence_ms):
 
     def fwd_chain(k0, x):
         def body(kk_, _):
-            y = conv(x, kk_, b)
-            kk2 = kk_ + (jnp.tanh(jnp.sum(y.astype(jnp.float32))) * 1e-30
-                         ).astype(kk_.dtype)
+            # optimization_barrier forces the FULL conv output to exist
+            # (no DCE/narrowing), while the serializing feedback is one
+            # element — so the chain adds ~zero non-conv work. (The old
+            # tanh(sum(y)) feedback cost a full f32 reduction per
+            # iteration, which for the fast shapes exceeded the conv and
+            # drove the fence-subtracted reading to the 1e-3 clamp —
+            # the bogus sub-10us rows in the round-3 first run.)
+            y = jax.lax.optimization_barrier(conv(x, kk_, b))
+            kk2 = kk_ + (y[0, 0, 0, 0].astype(jnp.float32) * 1e-30).astype(
+                kk_.dtype
+            )
             return kk2, None
 
         kN, _ = jax.lax.scan(body, k0, None, length=K)
@@ -136,8 +144,13 @@ def bench_fence(c, o, h, w):
 
     def chain(k0, x):
         def body(kk_, _):
-            kk2 = kk_ + (jnp.tanh(jnp.sum(x.astype(jnp.float32))) * 1e-30
-                         ).astype(kk_.dtype)
+            # scalar-only serializing chain: the fence now measures just
+            # the per-call RTT share + scan overhead (the conv chains'
+            # feedback is equally scalar, so the subtraction is fair)
+            e = jax.lax.optimization_barrier(
+                x[0, 0, 0, 0] * (1.0 + kk_[0, 0, 0, 0].astype(jnp.float32))
+            )
+            kk2 = kk_.at[0, 0, 0, 0].add((e * 1e-30).astype(kk_.dtype))
             return kk2, None
 
         return jax.lax.scan(body, k0, None, length=K)[0]
