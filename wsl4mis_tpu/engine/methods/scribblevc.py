@@ -8,8 +8,10 @@ Rebuilds /root/reference/code/train_ACDC_scribblevc.py:120-320:
     ensemble + 0.1 * BCE multi-label class-presence loss averaged over the
     two classification heads;
   * the class-representation memory activates after epoch 4 (ep > 4,
-    scribbleVC_ACDC.py:670) — implemented as a lax.cond over the two
-    static model variants so the jitted step covers both phases;
+    scribbleVC_ACDC.py:670) — implemented as a traced 0/1 gate on the
+    memory injection so ONE jitted forward covers both phases (a
+    lax.cond over two full applies doubles saved activations and OOMs
+    HBM at bench batch sizes);
   * validation uses the CAM decision rule: argmax of
     (min(p1,p2) > 0.5) * (p1 + p2)/2 (val_2D_scribblevc.py:84-86).
 
@@ -115,7 +117,12 @@ def make_step(cfg: TrainConfig, model: ScribbleVC, steps_per_epoch: int):
             category = batch["category"]
         beta = jax.random.uniform(rngs["method"]) + 1e-10
         ep = state.step // steps_per_epoch
-        use_rep = ep > 4
+        # Reference enables the class-representation memory from epoch 5
+        # (train_ACDC_scribblevc.py:219 `epoch > 4`). A traced 0/1 gate on
+        # the injection keeps it to ONE model forward — the previous
+        # lax.cond over two full applies saved both branches' activations
+        # and OOMed HBM at bench batch sizes (RESULTS round 3).
+        rep_gate = (ep > 4).astype(jnp.float32)
 
         def loss_fn(params):
             variables = {
@@ -123,21 +130,14 @@ def make_step(cfg: TrainConfig, model: ScribbleVC, steps_per_epoch: int):
                 "batch_stats": state.batch_stats,
                 "class_memory": state.extra["class_memory"],
             }
-
-            def run(flag):
-                def apply(_):
-                    out, mut = model.apply(
-                        variables, x, train=True, use_class_rep=flag,
-                        rngs={"dropout": rngs["dropout"]},
-                        mutable=["batch_stats", "class_memory"],
-                    )
-                    return out, (mut["batch_stats"], mut["class_memory"])
-
-                return apply
-
-            (pred1, pred2, (conv_cls, tran_cls)), (new_bs, new_mem) = (
-                jax.lax.cond(use_rep, run(True), run(False), operand=None)
+            out, mut = model.apply(
+                variables, x, train=True, use_class_rep=True,
+                rep_gate=rep_gate,
+                rngs={"dropout": rngs["dropout"]},
+                mutable=["batch_stats", "class_memory"],
             )
+            (pred1, pred2, (conv_cls, tran_cls)) = out
+            new_bs, new_mem = mut["batch_stats"], mut["class_memory"]
             p1 = jax.nn.softmax(pred1, axis=-1)
             p2 = jax.nn.softmax(pred2, axis=-1)
             loss_ce = 0.5 * (

@@ -328,7 +328,11 @@ def class_memory_update(hf, tf, conv_cls, tran_cls, hist_conv, hist_tran,
     ema = jnp.where(
         initialized > 0, hw0 * hist_conv + (1 - hw0) * rep, rep
     )
-    rep_prob = conv_head_fn(ema)
+    # The head outputs below feed ONLY argmax comparisons, whose tangents
+    # are identically zero — stop_gradient is exact here and prunes the
+    # prototype-map head adjoints from the backward program (the unpruned
+    # form SIGSEGVed the TPU AOT compiler at HEAD, see RESULTS round 3).
+    rep_prob = conv_head_fn(jax.lax.stop_gradient(ema))
     is_max = (
         jnp.argmax(rep_prob, axis=1) == jnp.arange(ncls)
     ).astype(jnp.float32)
@@ -356,7 +360,8 @@ def class_memory_update(hf, tf, conv_cls, tran_cls, hist_conv, hist_tran,
     tema = jnp.where(
         initialized > 0, hw0 * hist_tran + (1 - hw0) * trep, trep
     )
-    trep_prob = trans_head_fn(tema[:, 0])
+    # argmax-only consumer — stop_gradient exact (see rep_prob above)
+    trep_prob = trans_head_fn(jax.lax.stop_gradient(tema[:, 0]))
     t_is_max = (
         jnp.argmax(trep_prob, axis=1) == jnp.arange(ncls)
     ).astype(jnp.float32)
@@ -400,7 +405,8 @@ class ScribbleVC(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False, use_class_rep: bool = False):
+    def __call__(self, x, *, train: bool = False, use_class_rep: bool = False,
+                 rep_gate=None):
         dt = self.dtype
         b = x.shape[0]
         c1 = self.base_channel * self.channel_ratio          # 256
@@ -508,6 +514,23 @@ class ScribbleVC(nn.Module):
                 conv_head_on,
                 lambda z: trans_cls_mod(z.astype(dt)).astype(jnp.float32),
             )
+            if rep_gate is not None:
+                # Traced scalar gate (0.0 before the reference's epoch-5
+                # switch-on, 1.0 after — train_ACDC_scribblevc.py:219's
+                # `epoch > 4`). One forward serves both phases: the naive
+                # lax.cond over two full model applies doubled the saved-
+                # activation footprint and blew HBM at bench batch sizes
+                # (20.8G of 15.75G, RESULTS round 3).
+                g = jnp.asarray(rep_gate, jnp.float32)
+                dh = g * dh
+                t_rep = g * t_rep
+                new_hist = jnp.where(g > 0, new_hist, hist_conv.value)
+                new_t_hist = jnp.where(g > 0, new_t_hist, hist_tran.value)
+                new_init = jnp.where(
+                    g > 0, jnp.ones((), jnp.float32), initialized.value
+                )
+            else:
+                new_init = jnp.ones((), jnp.float32)
             hist_conv.value = new_hist
             hist_tran.value = new_t_hist
             h = h + dh.astype(dt)
@@ -515,7 +538,7 @@ class ScribbleVC(nn.Module):
             x_patch = x_patch + t_rep[:, 1:].reshape(
                 b, gh, gw, self.embed_dim
             ).astype(dt)
-            initialized.value = jnp.ones((), jnp.float32)
+            initialized.value = new_init
         elif use_class_rep and not train:
             conv_prob = jax.nn.sigmoid(conv_cls)
             weight = jnp.where(conv_prob < 0.5, 0.0, conv_prob)

@@ -234,14 +234,18 @@ class TorchConvTranspose(nn.Module):
 
 def _max_pool_2x2(x):
     """2x2/stride-2 max pool. WSL4MIS_POOL_IMPL selects "fused" (strided
-    slices + elementwise max, first-max custom VJP — ops/maxpool.py; the
-    TPU default: reduce-window/select-and-scatter pick a batch-minor
-    layout that forces relayout copies against the Pallas conv calls) or
-    "direct" (nn.max_pool — the default off-TPU). Bit-parity tested in
-    tests/test_maxpool.py."""
+    slices + elementwise max, first-max custom VJP — ops/maxpool.py) or
+    "direct" (nn.max_pool's reduce-window/select-and-scatter — the
+    default everywhere). The fused path was built to kill the relayout
+    copies the trace attributed to pooling's batch-minor layouts, but
+    the on-chip A/B was NEGATIVE at batch 24 (fully_supervised step
+    34.7 -> 41.2 ms, pce 33.7 -> 40.3 ms; batch-6 dmpls neutral at
+    ~14.8 ms) — the backward's compare+interleave costs more than
+    select-and-scatter saves (RESULTS.md round 3). Kept behind the flag
+    as a tested specification; bit-parity in tests/test_maxpool.py."""
     impl = os.environ.get("WSL4MIS_POOL_IMPL")
     if impl is None:
-        impl = "fused" if _on_tpu() else "direct"
+        impl = "direct"
     if impl == "fused" and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
         from ..ops.maxpool import max_pool_2x2
 
