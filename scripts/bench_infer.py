@@ -30,9 +30,16 @@ MODEL = os.environ.get("BENCH_MODEL", "unet")
 DTYPE = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
     os.environ.get("BENCH_DTYPE", "bfloat16")
 ]
+# Remote-compile round trips dominate warmup for big models (each depth
+# bucket is one program; the ScribbleVC conformer takes ~8 min/compile on
+# the tunneled service, which blew the first bench's timeout). BENCH_BUCKET
+# trades padding compute for fewer programs; BENCH_VOLS caps the volume set.
+N_VOLS = int(os.environ.get("BENCH_VOLS", "20"))
+BUCKET = int(os.environ.get("BENCH_BUCKET", "8"))
 
 
-def _device_throughput(model, variables, vols, reps: int = 8,
+def _device_throughput(model, variables, vols,
+                       reps: int = int(os.environ.get("BENCH_REPS", "8")),
                        chunk: int = 32, apply_kwargs=None):
     """Device-side serving throughput (VERDICT round-2 item 8).
 
@@ -52,6 +59,8 @@ def _device_throughput(model, variables, vols, reps: int = 8,
         zf = (1, 256 / img.shape[1], 256 / img.shape[2])
         slices.append(nd_zoom(img, zf, order=0).astype(np.float32))
     x = np.concatenate(slices, axis=0)[..., None]
+    if len(x) < chunk:  # tiny BENCH_VOLS smoke runs
+        chunk = len(x)
     n = (len(x) // chunk) * chunk
     x = x[:n]
     xall = jax.device_put(x.reshape(n // chunk, chunk, 256, 256, 1))
@@ -108,7 +117,7 @@ def main():
             return jnp.argmax(0.5 * (p1 + p2), axis=-1).astype(jnp.int32)
 
         predictor = VolumePredictor(
-            model, (256, 256), decision_fn=mean_softmax,
+            model, (256, 256), bucket=BUCKET, decision_fn=mean_softmax,
             apply_kwargs=apply_kwargs,
         )
     else:
@@ -116,8 +125,8 @@ def main():
         variables = init_model(model, jax.random.key(0), (1, 256, 256, 1))
         variables = {k: variables[k] for k in ("params", "batch_stats")
                      if k in variables}
-        predictor = VolumePredictor(model, (256, 256))
-    vols = AcdcVolumeDataset(fold="fold1", limit=20)
+        predictor = VolumePredictor(model, (256, 256), bucket=BUCKET)
+    vols = AcdcVolumeDataset(fold="fold1", limit=N_VOLS)
     n_slices = sum(v["image"].shape[0] for v in vols)
 
     # warmup: compile every depth bucket that appears
@@ -140,6 +149,7 @@ def main():
                 "value": round(n_slices / wall, 1),
                 "unit": "slices/sec/chip",
                 "volumes": len(vols.volumes),
+                "bucket": BUCKET,
                 "slices": int(n_slices),
                 "wall_s": round(wall, 3),
                 "ms_per_volume": round(wall / len(vols.volumes) * 1e3, 2),
