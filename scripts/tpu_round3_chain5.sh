@@ -1,0 +1,61 @@
+#!/bin/bash
+# Round-3 TPU chain v5 — recovery chain after the TPU tunnel relay died
+# mid-chain3 (~19:35: the port-relay process exited, every later stage
+# failed at backend init). Launched by a watcher once the relay ports
+# are back. Ordered by remaining deliverable value:
+#   1. ScribbleVC ACDC 200 epochs with test-rule selection + held-out
+#      test table (VERDICT r2 item 3 — the quality gate)
+#   2. DMPLS fold1 + fold2 60k + offline tests (quality-unchanged
+#      evidence for the 2x-faster conv path, VERDICT r2 item 1)
+#   3. 10k-iter aug-parity A/B (VERDICT r2 item 7)
+#   4. conv ceiling rerun (fixed fence) + post-round trace
+#   5. ScribbleVC infer bench retry (compile-lean knobs)
+# Every stage retries backend-init races after a cool-down.
+set -x
+cd /root/repo
+
+run_retry() {  # run_retry <logfile> <timeout_s> <cmd...>
+  local log=$1 tmo=$2; shift 2
+  for attempt in 1 2 3; do
+    timeout "$tmo" "$@" > "$log" 2> "$log.err"
+    local rc=$?
+    if ! grep -q "Unable to initialize backend" "$log" "$log.err"; then
+      return $rc
+    fi
+    echo "init-race on attempt $attempt, cooling down" >> "$log.err"
+    sleep 180
+  done
+  return 1
+}
+
+run_retry model/r3_scribblevc_run.log 14400 python \
+  scripts/train_ACDC_scribblevc.py --steps_per_call 5
+run_retry model/r3_scribblevc_test.log 3600 python \
+  scripts/test_ACDC_scribblevc.py
+
+for FOLD in fold1 fold2; do
+  run_retry model/r3_dmpls_$FOLD.log 5400 python \
+    scripts/train_weakly_supervised_segmentation_pCE_ours_proposed.py \
+    --fold $FOLD --steps_per_call 10
+  run_retry model/r3_dmpls_test_$FOLD.log 3000 python \
+    scripts/test_2D_fully_sps.py --fold $FOLD --no_save
+done
+
+run_retry model/r3_ab_device.log 3600 python \
+  scripts/train_weakly_supervised_pCE_2D.py \
+  --max_iterations 10000 --exp ACDC_ab10kdev --aug_mode device \
+  --steps_per_call 10
+run_retry model/r3_ab_host.log 10800 python \
+  scripts/train_weakly_supervised_pCE_2D.py \
+  --max_iterations 10000 --exp ACDC_ab10khost --aug_mode host \
+  --device_data 0
+
+run_retry model/r3_bench_conv2.json 3600 python scripts/bench_conv.py
+
+TRACE_METHOD=fully_supervised TRACE_DIR=/tmp/trace_r3c run_retry \
+  model/r3_trace_pool.log 1800 python scripts/capture_trace.py
+
+BENCH_MODEL=scribblevc BENCH_BUCKET=16 BENCH_VOLS=12 run_retry \
+  model/r3c4_infer_scribblevc.json 3000 python scripts/bench_infer.py
+
+echo CHAIN_R3V5_DONE
