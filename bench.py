@@ -205,6 +205,15 @@ def main():
     slices_per_sec = batch_size / device_dt
     peak = _peak_flops()
     mfu = (flops / device_dt / peak) if (flops and peak) else None
+    # "X% of achievable" against the MEASURED conv-shaped ceiling, not the
+    # 4096^3-matmul nameplate (VERDICT r2 item 4): scripts/bench_conv.py
+    # measured 8-55 true TF/s at this UNet's actual layer shapes; summing
+    # best-impl fwd+bwd times over the fully_supervised layers bounds conv
+    # compute at ~7.5 ms for its 0.44 TFLOP step = ~58 effective TF/s
+    # (RESULTS.md round-3 table). Override with BENCH_CONV_TFLOPS after
+    # re-measuring.
+    conv_tfps = float(os.environ.get("BENCH_CONV_TFLOPS", "58")) * 1e12
+    pct_achievable = (flops / device_dt / conv_tfps) if flops else None
     print(
         json.dumps(
             {
@@ -222,6 +231,10 @@ def main():
                 "dispatch_slices_per_sec": round(batch_size / dispatch_dt, 1),
                 "flops_per_step": flops,
                 "mfu": round(mfu, 4) if mfu is not None else None,
+                "pct_of_measured_conv_ceiling": (
+                    round(pct_achievable, 4)
+                    if pct_achievable is not None else None
+                ),
                 "note": (
                     "honest fence: K-step scan per device call, fenced by "
                     "materializing updated params on host; round-1 numbers "
