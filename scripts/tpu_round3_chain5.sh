@@ -58,4 +58,14 @@ TRACE_METHOD=fully_supervised TRACE_DIR=/tmp/trace_r3c run_retry \
 BENCH_MODEL=scribblevc BENCH_BUCKET=16 BENCH_VOLS=12 run_retry \
   model/r3c4_infer_scribblevc.json 3000 python scripts/bench_infer.py
 
+# Layout-attribution matrix: which custom-call pins cause the ~12 ms
+# "data formatting" row of the trace? fully_supervised bench across
+# augment/conv implementation pairs.
+for AUG in pallas xla; do
+  for CONV in pallas direct; do
+    WSL4MIS_AUG_IMPL=$AUG WSL4MIS_CONV_IMPL=$CONV run_retry \
+      model/r3_mx_${AUG}_${CONV}.json 2400 python bench.py
+  done
+done
+
 echo CHAIN_R3V5_DONE
