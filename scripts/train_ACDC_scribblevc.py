@@ -32,6 +32,8 @@ parser.add_argument("--snapshot_root", type=str, default="model")
 parser.add_argument("--data_limit", type=int, default=None)
 parser.add_argument("--steps_per_call", type=int, default=1,
                     help="scan K train steps inside one device call")
+parser.add_argument("--remat", type=int, default=0,
+                    help="checkpoint conformer stages (HBM for FLOPs)")
 parser.add_argument("--pretrain_weights", type=str, default="",
                     help="msgpack checkpoint to warm-start from "
                          "(reference train_ACDC_scribblevc.py:154-156)")
@@ -56,6 +58,7 @@ if __name__ == "__main__":
         snapshot_root=args.snapshot_root,
         data_limit=args.data_limit,
         steps_per_call=args.steps_per_call,
+        remat=bool(args.remat),
         max_iterations=1,  # fixed up after the dataset size is known
     )
     bundle = get_method("scribblevc").build(cfg)

@@ -63,6 +63,8 @@ def build_parser(defaults: dict) -> argparse.ArgumentParser:
     add("--device_data", type=int, default=1,
         help="1: stage the dataset in device HBM (index batches); 0: ship "
              "host image batches per step")
+    add("--remat", type=int, default=0,
+        help="checkpoint ScribbleVC conformer stages (HBM for FLOPs)")
     add("--fast_prng", type=int, default=1,
         help="1: rbg step PRNG (TPU-fast); 0: threefry")
     return p
@@ -111,6 +113,7 @@ def config_from_args(args, method: str) -> TrainConfig:
         aug_mode=args.aug_mode,
         device_data=bool(args.device_data),
         fast_prng=bool(args.fast_prng),
+        remat=bool(args.remat),
     )
 
 

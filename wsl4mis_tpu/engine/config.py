@@ -58,6 +58,10 @@ class TrainConfig:
     debug_nans: bool = False            # jax_debug_nans (SURVEY §5.2)
     fast_prng: bool = True              # 'rbg' impl for the step PRNG key:
                                         # much cheaper random bits on TPU
+    remat: bool = False                 # checkpoint transformer stages
+                                        # (ScribbleVC): recompute in bwd,
+                                        # trading ~1 fwd of FLOPs for HBM
+                                        # batch headroom
                                         # (dropout masks dominate otherwise).
                                         # Still keyed+deterministic; stream
                                         # differs from threefry.

@@ -238,7 +238,7 @@ def build(cfg: TrainConfig) -> MethodBundle:
 
     model = ScribbleVC(
         num_classes=cfg.num_classes, batch_size=cfg.batch_size,
-        dtype=compute_dtype(cfg),
+        dtype=compute_dtype(cfg), remat=cfg.remat,
     )
     rng = jax.random.key(cfg.seed)
     variables = model.init(

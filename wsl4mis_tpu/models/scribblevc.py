@@ -247,7 +247,9 @@ class ConvTransBlock(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, x_t, *, train: bool):
+    def __call__(self, x, x_t, train: bool = False):
+        # train is positional-friendly so nn.remat can mark it static
+        # (static_argnums counts self — see ScribbleVC.__call__).
         x, x2 = BottleneckConvBlock(
             self.outplanes, self.stride, self.res_conv, self.dtype,
             name="cnn_block",
@@ -403,6 +405,12 @@ class ScribbleVC(nn.Module):
     drop_path_rate: float = 0.1
     hist_weight: float = 0.5
     dtype: Dtype = jnp.bfloat16
+    remat: bool = False                  # checkpoint each Conformer stage:
+                                         # recompute activations in the
+                                         # backward instead of saving them
+                                         # (the train step fits ~15.5G HBM
+                                         # at batch 12; remat buys batch
+                                         # headroom for FLOPs)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, use_class_rep: bool = False,
@@ -451,6 +459,12 @@ class ScribbleVC(nn.Module):
         )(t, train=train)
 
         # stages 2..12 (:651-656)
+        # static_argnums=(3,) marks `train` static through jax.checkpoint
+        # (0 is self in flax's linen.remat convention)
+        Stage = (
+            nn.remat(ConvTransBlock, static_argnums=(3,))
+            if self.remat else ConvTransBlock
+        )
         third = self.depth // 3
         for i in range(2, self.depth + 1):
             if i <= third:
@@ -461,11 +475,11 @@ class ScribbleVC(nn.Module):
             else:
                 first = i == 2 * third + 1
                 planes, res_conv, stride, dws = c3, first, 2 if first else 1, dw // 4
-            h, t = ConvTransBlock(
+            h, t = Stage(
                 planes, res_conv, stride, dws, self.embed_dim,
                 self.num_heads, dpr[i - 1], last_fusion=(i == self.depth),
                 dtype=dt, name=f"conv_trans_{i}",
-            )(h, t, train=train)
+            )(h, t, train)
             if i % 4 == 0:
                 feature_conv.append(h)
 
