@@ -9,21 +9,25 @@ import numpy as np
 import pytest
 from flax import linen as nn
 
-from wsl4mis_tpu.ops.maxpool import max_pool_2x2
+from wsl4mis_tpu.ops.maxpool import max_pool_2x2, max_pool_2x2_v2
+
+POOLS = [max_pool_2x2, max_pool_2x2_v2]
 
 
 def _ref_pool(x):
     return nn.max_pool(x, (2, 2), strides=(2, 2))
 
 
+@pytest.mark.parametrize("pool", POOLS)
 @pytest.mark.parametrize("shape", [(2, 8, 8, 3), (3, 16, 12, 5)])
-def test_forward_bit_equal(shape):
+def test_forward_bit_equal(pool, shape):
     x = jax.random.normal(jax.random.key(0), shape, jnp.float32)
-    np.testing.assert_array_equal(max_pool_2x2(x), _ref_pool(x))
+    np.testing.assert_array_equal(pool(x), _ref_pool(x))
 
 
+@pytest.mark.parametrize("fused", POOLS)
 @pytest.mark.parametrize("quantize", [False, True])
-def test_grad_bit_equal(quantize):
+def test_grad_bit_equal(fused, quantize):
     x = jax.random.normal(jax.random.key(1), (2, 12, 16, 4), jnp.float32)
     if quantize:
         # Heavy ties (incl. whole windows of equal values), the post-ReLU
@@ -35,15 +39,16 @@ def test_grad_bit_equal(quantize):
     def loss(pool, xx):
         return jnp.vdot(pool(xx), g)
 
-    dx_fused = jax.grad(lambda xx: loss(max_pool_2x2, xx))(x)
+    dx_fused = jax.grad(lambda xx: loss(fused, xx))(x)
     dx_ref = jax.grad(lambda xx: loss(_ref_pool, xx))(x)
     np.testing.assert_array_equal(dx_fused, dx_ref)
 
 
-def test_grad_all_tied_window():
+@pytest.mark.parametrize("pool", POOLS)
+def test_grad_all_tied_window(pool):
     """A fully-tied window must send the whole cotangent to tap (0,0)."""
     x = jnp.zeros((1, 2, 2, 1), jnp.float32)
-    dx = jax.grad(lambda xx: jnp.sum(max_pool_2x2(xx)))(x)
+    dx = jax.grad(lambda xx: jnp.sum(pool(xx)))(x)
     expect = np.zeros((1, 2, 2, 1), np.float32)
     expect[0, 0, 0, 0] = 1.0
     np.testing.assert_array_equal(dx, expect)
@@ -51,9 +56,10 @@ def test_grad_all_tied_window():
     np.testing.assert_array_equal(dx_ref, expect)
 
 
-def test_bf16_forward():
+@pytest.mark.parametrize("pool", POOLS)
+def test_bf16_forward(pool):
     x = jax.random.normal(jax.random.key(3), (2, 8, 8, 4)).astype(jnp.bfloat16)
     np.testing.assert_array_equal(
-        np.asarray(max_pool_2x2(x), np.float32),
+        np.asarray(pool(x), np.float32),
         np.asarray(_ref_pool(x), np.float32),
     )

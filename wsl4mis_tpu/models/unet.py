@@ -241,15 +241,18 @@ def _max_pool_2x2(x):
     the on-chip A/B was NEGATIVE at batch 24 (fully_supervised step
     34.7 -> 41.2 ms, pce 33.7 -> 40.3 ms; batch-6 dmpls neutral at
     ~14.8 ms) — the backward's compare+interleave costs more than
-    select-and-scatter saves (RESULTS.md round 3). Kept behind the flag
-    as a tested specification; bit-parity in tests/test_maxpool.py."""
+    select-and-scatter saves (RESULTS.md round 3). "fused2" keeps the
+    fused forward but reformulates the backward as one broadcast-indexed
+    loop fusion (no stack/reshape interleave — ops/maxpool.py v2 notes).
+    All paths bit-parity-tested in tests/test_maxpool.py."""
     impl = os.environ.get("WSL4MIS_POOL_IMPL")
     if impl is None:
         impl = "direct"
-    if impl == "fused" and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-        from ..ops.maxpool import max_pool_2x2
+    if impl in ("fused", "fused2") and x.shape[1] % 2 == 0 \
+            and x.shape[2] % 2 == 0:
+        from ..ops.maxpool import max_pool_2x2, max_pool_2x2_v2
 
-        return max_pool_2x2(x)
+        return max_pool_2x2_v2(x) if impl == "fused2" else max_pool_2x2(x)
     return nn.max_pool(x, (2, 2), strides=(2, 2))
 
 

@@ -73,3 +73,65 @@ def _interleave_w(a, b):
 
 
 max_pool_2x2.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# v2: broadcast-formulated backward (WSL4MIS_POOL_IMPL=fused2)
+#
+# The v1 backward above builds dx by stacking/reshaping four masked
+# cotangent tensors — stack->reshape is a sublane interleave that XLA
+# materializes as copies, and the on-chip A/B measured it NET SLOWER than
+# select-and-scatter (RESULTS.md round 3). v2 keeps identical first-max
+# semantics but formulates dx elementwise at FULL resolution:
+#
+#   dx[n,h,w,c] = g[n,h/2,w/2,c] * (first_max_tap[n,h/2,w/2,c] ==
+#                                   2*(h%2) + (w%2))
+#
+# The pooled-resolution operands reach full resolution via
+# broadcast+collapse (a degenerate-dim broadcast: each output element
+# reads exactly one input element at a linear index map), which fuses
+# into the consuming loop instead of materializing an interleave; the
+# window-position pattern is two fused iotas. One loop fusion, no copies.
+# ---------------------------------------------------------------------------
+
+
+def _first_max_tap(x, y):
+    """Row-major index (0..3) of the first window tap equal to the max."""
+    t00, t01, t10, _ = _taps(x)
+    i = jnp.full(y.shape, 3, jnp.int32)
+    i = jnp.where(t10 == y, 2, i)
+    i = jnp.where(t01 == y, 1, i)
+    return jnp.where(t00 == y, 0, i)
+
+
+def _up2(a):
+    """(N,H2,W2,C) -> (N,2*H2,2*W2,C) nearest upsample (broadcast+collapse)."""
+    n, h2, w2, c = a.shape
+    a6 = jnp.broadcast_to(a[:, :, None, :, None, :], (n, h2, 2, w2, 2, c))
+    return a6.reshape(n, 2 * h2, 2 * w2, c)
+
+
+@jax.custom_vjp
+def max_pool_2x2_v2(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W, C) -> (N, H/2, W/2, C); H and W must be even."""
+    t00, t01, t10, t11 = _taps(x)
+    return jnp.maximum(jnp.maximum(t00, t01), jnp.maximum(t10, t11))
+
+
+def _fwd_v2(x):
+    y = max_pool_2x2_v2(x)
+    return y, (x, y)
+
+
+def _bwd_v2(res, g):
+    x, y = res
+    n, h, w, c = x.shape
+    idx_up = _up2(_first_max_tap(x, y))
+    pos_h = jax.lax.broadcasted_iota(jnp.int32, (n, h, w, c), 1) % 2
+    pos_w = jax.lax.broadcasted_iota(jnp.int32, (n, h, w, c), 2) % 2
+    pos = 2 * pos_h + pos_w
+    dx = jnp.where(idx_up == pos, _up2(g), jnp.zeros((), g.dtype))
+    return (dx,)
+
+
+max_pool_2x2_v2.defvjp(_fwd_v2, _bwd_v2)
