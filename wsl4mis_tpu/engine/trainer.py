@@ -87,6 +87,15 @@ class Trainer:
         def _round(v):
             return max(self.multi, (v // self.multi) * self.multi)
 
+        if self.multi > 1 and cfg.val_every % self.multi:
+            logging.warning(
+                "steps_per_call %d does not divide val_every %d: validation/"
+                "checkpoint cadence quantizes to every %d iterations (the "
+                "reference contract is every %d, "
+                "train_fully_supervised_2D.py:132)",
+                self.multi, cfg.val_every, _round(cfg.val_every),
+                cfg.val_every,
+            )
         self.val_every = _round(cfg.val_every)
         self.ckpt_every = _round(cfg.ckpt_every)
         self.log_every = _round(cfg.log_every)

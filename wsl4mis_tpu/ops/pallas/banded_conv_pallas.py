@@ -404,13 +404,15 @@ def eligible(x_shape, kernel_shape, strides=(1, 1)) -> bool:
     WSL4MIS_BANDED_ROUTE selects the win predicate:
       * "cost" (default) — the padded-FLOP model in plan_banded (>=15%
         modelled saving).
-      * "measured" — additionally require C <= 32 and H >= 128: the
-        round-3 conv-shaped microbench (scripts/bench_conv.py,
+      * "measured" — additionally require C <= 32 and min(H, W) >= 128:
+        the round-3 conv-shaped microbench (scripts/bench_conv.py,
         RESULTS.md "Conv-shaped ceiling") measured the direct lowering
         FASTER despite its padding for every >=64-channel or <=64x64
         shape (64->64@64x64: 53.3 vs 46.9 TF/s; 32->64@64x64: 36.5 vs
         28.5; 64->32@128x128: 24.7 vs 16.7) — the banded kernel's edge
-        is the small-C big-HW regime where lane padding is worst.
+        is the small-C big-HW regime where lane padding is worst. Gating
+        on min(H, W) keeps a non-square (tall-narrow) input out of a
+        regime the microbench never measured.
     """
     if tuple(kernel_shape[:2]) != (3, 3) or tuple(strides) != (1, 1):
         return False
@@ -418,5 +420,5 @@ def eligible(x_shape, kernel_shape, strides=(1, 1)) -> bool:
     if plan_banded(c, kernel_shape[3], h, w) is None:
         return False
     if os.environ.get("WSL4MIS_BANDED_ROUTE", "cost") == "measured":
-        return c <= 32 and h >= 128
+        return c <= 32 and min(h, w) >= 128
     return True
