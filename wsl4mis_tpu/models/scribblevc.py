@@ -515,6 +515,18 @@ class ScribbleVC(nn.Module):
             out = conv_cls_mod(z.astype(dt))
             return jnp.mean(out.astype(jnp.float32), axis=(1, 2))
 
+        # No-op unless applied with mutable=["intermediates"]: the exact
+        # (features, tokens, logits) quadruple the class memory consumes,
+        # captured pre-injection for the trained-state torch oracle
+        # (scripts/oracle_scribblevc_memory.py, VERDICT r3 item 3).
+        self.sow(
+            "intermediates", "memory_inputs",
+            (
+                h.astype(jnp.float32), t_normed.astype(jnp.float32),
+                conv_cls, tran_cls,
+            ),
+        )
+
         if use_class_rep and train and b == self.batch_size:
             dh, t_rep, new_hist, new_t_hist = class_memory_update(
                 h.astype(jnp.float32),
