@@ -67,6 +67,9 @@ def build_parser(defaults: dict) -> argparse.ArgumentParser:
         help="checkpoint ScribbleVC conformer stages (HBM for FLOPs)")
     add("--fast_prng", type=int, default=1,
         help="1: rbg step PRNG (TPU-fast); 0: threefry")
+    add("--encoder_weights", type=str, default=None,
+        help="efficient_unet: converted ImageNet encoder msgpack "
+             "(scripts/convert_torch_weights.py)")
     return p
 
 
@@ -114,6 +117,7 @@ def config_from_args(args, method: str) -> TrainConfig:
         device_data=bool(args.device_data),
         fast_prng=bool(args.fast_prng),
         remat=bool(args.remat),
+        encoder_weights=args.encoder_weights,
     )
 
 

@@ -69,6 +69,12 @@ class TrainConfig:
                                         # device call (amortizes dispatch
                                         # latency; val/ckpt/log cadences are
                                         # rounded to multiples of K)
+    encoder_weights: str | None = None  # efficient_unet: msgpack from
+                                        # scripts/convert_torch_weights.py
+                                        # (the reference's ImageNet warm
+                                        # start, net_factory.py:16 — no
+                                        # egress here, so weights arrive
+                                        # via local file conversion)
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

@@ -72,6 +72,18 @@ def make_model_and_state(cfg: TrainConfig, *, model_name=None, extra=None,
     )
     rng = jax.random.key(cfg.seed)
     variables = init_model(model, rng, (1, *cfg.patch_size, 1))
+    if cfg.encoder_weights and (model_name or cfg.model) == "efficient_unet":
+        # ImageNet warm start via a converted efficientnet_pytorch file
+        # (the reference's net_factory.py:16 default, recovered offline
+        # through scripts/convert_torch_weights.py)
+        from wsl4mis_tpu.utils.checkpoint import load_checkpoint
+        from wsl4mis_tpu.utils.torch_import import merge_encoder_subtrees
+
+        payload = load_checkpoint(cfg.encoder_weights)
+        variables = merge_encoder_subtrees(
+            variables, payload["encoder_params"],
+            payload["encoder_batch_stats"],
+        )
     tx = tx or reference_sgd(cfg.base_lr, cfg.max_iterations)
     state = TrainState.create(
         apply_fn=model.apply,
