@@ -248,8 +248,15 @@ def _max_pool_2x2(x):
     impl = os.environ.get("WSL4MIS_POOL_IMPL")
     if impl is None:
         impl = "direct"
-    if impl in ("fused", "fused2") and x.shape[1] % 2 == 0 \
-            and x.shape[2] % 2 == 0:
+    even = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+    if impl == "pallas" and even:
+        # Pallas kernels pin the default layout on BOTH sides of the
+        # pool, so the pool<->banded-conv relayout seam cannot exist
+        # (ops/pallas/maxpool_pallas.py). Interpret mode off-TPU.
+        from ..ops.pallas.maxpool_pallas import max_pool_2x2_pallas
+
+        return max_pool_2x2_pallas(x, interpret=not _on_tpu())
+    if impl in ("fused", "fused2") and even:
         from ..ops.maxpool import max_pool_2x2, max_pool_2x2_v2
 
         return max_pool_2x2_v2(x) if impl == "fused2" else max_pool_2x2(x)
