@@ -37,6 +37,14 @@ parser.add_argument("--remat", type=int, default=0,
 parser.add_argument("--pretrain_weights", type=str, default="",
                     help="msgpack checkpoint to warm-start from "
                          "(reference train_ACDC_scribblevc.py:154-156)")
+parser.add_argument("--light_val", type=int, default=0,
+                    help="1: skip the train-rule val pass (selection uses "
+                         "the select-rule metric; halves val wall-clock)")
+parser.add_argument("--resume", type=int, default=0,
+                    help="1: resume from latest_full.ckpt if present")
+parser.add_argument("--ckpt_epoches", type=int, default=100,
+                    help="full-state checkpoint cadence in epochs "
+                         "(reference snapshots every 100)")
 
 if __name__ == "__main__":
     import ast
@@ -74,6 +82,8 @@ if __name__ == "__main__":
     cfg = cfg.replace(
         max_iterations=args.max_epoches * bundle.steps_per_epoch,
         val_every=args.val_every_epoches * bundle.steps_per_epoch,
-        ckpt_every=100 * bundle.steps_per_epoch,
+        ckpt_every=args.ckpt_epoches * bundle.steps_per_epoch,
+        light_val=bool(args.light_val),
+        resume=bool(args.resume),
     )
     print(Trainer(cfg, bundle).train())

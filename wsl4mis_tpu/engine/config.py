@@ -69,6 +69,10 @@ class TrainConfig:
                                         # device call (amortizes dispatch
                                         # latency; val/ckpt/log cadences are
                                         # rounded to multiples of K)
+    light_val: bool = False             # skip the train-rule val pass
+                                        # when a select_predictor exists
+                                        # (selection never reads it; val
+                                        # dominates ScribbleVC wall-clock)
     encoder_weights: str | None = None  # efficient_unet: msgpack from
                                         # scripts/convert_torch_weights.py
                                         # (the reference's ImageNet warm

@@ -179,6 +179,13 @@ class Trainer:
         memory-injected CAM metric is depressed ~14 pts and froze selection
         at a bad epoch, RESULTS.md round-2), its metric is logged under
         info/val_select_* and returned for selection instead.
+
+        cfg.light_val skips the train-rule pass when a select_predictor
+        exists (selection never reads it; it only feeds the reference TB
+        tags). Validation dominates ScribbleVC wall-clock (~126 s/val at
+        round-3 pace, 2 full evaluate_fold passes + host HD95), so the
+        200-epoch protocol is hours of pure duplicate metric computation
+        without this.
         """
         if self.bundle.val_variables is not None:
             variables = self.bundle.val_variables(self.state)
@@ -188,6 +195,27 @@ class Trainer:
                 "batch_stats": self.state.batch_stats,
             }
         nan_aware = self.bundle.nan_val_metrics
+        if self.cfg.light_val and self.bundle.select_predictor is not None:
+            mean = np.nanmean if nan_aware else np.mean
+            sel_vars = (
+                self.bundle.select_variables(self.state)
+                if self.bundle.select_variables is not None
+                else variables
+            )
+            sel_list = evaluate_fold(
+                self.bundle.select_predictor, sel_vars,
+                self.bundle.val_volumes, self.cfg.num_classes,
+                nan_aware=nan_aware,
+            )
+            sel_perf = float(mean(sel_list, axis=0)[0])
+            sel_hd95 = float(mean(sel_list, axis=0)[1])
+            self._scalar("info/val_select_mean_dice", sel_perf, iter_num)
+            self._scalar("info/val_select_mean_hd95", sel_hd95, iter_num)
+            logging.info(
+                "iteration %d : val(select-rule, light) dice %f",
+                iter_num, sel_perf,
+            )
+            return sel_perf, sel_hd95
         metric_list = evaluate_fold(
             self.predictor, variables, self.bundle.val_volumes,
             self.cfg.num_classes, nan_aware=nan_aware,
