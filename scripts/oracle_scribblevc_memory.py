@@ -208,9 +208,23 @@ def main():
         "conv_gate_agree": 0, "tran_gate_agree": 0,
         "tran_argmax_hist": [0] * ncls,
         "conv_argmax_hist": [0] * ncls,
+        # near-parallel-reps diagnostic: rep_i = (1/B) sum_b logits[b,i] *
+        # feat[b] makes every class rep a logits-weighted mean of the SAME
+        # batch features; if the per-class logits are correlated across
+        # the batch the reps are scalar multiples of one tensor, the gate
+        # head's argmax is the same for all classes, and at most one
+        # class can ever validate. Cosine ~1 here IS the root cause.
+        "tran_rep_cos": [], "conv_rep_cos": [],
     }
     per_class_t = np.zeros(ncls)
     per_class_c = np.zeros(ncls)
+
+    def _mean_pairwise_cos(reps):
+        flat = np.asarray(reps, np.float32).reshape(reps.shape[0], -1)
+        norm = np.linalg.norm(flat, axis=1, keepdims=True) + 1e-12
+        cos = (flat / norm) @ (flat / norm).T
+        iu = np.triu_indices(flat.shape[0], 1)
+        return float(np.abs(cos[iu]).mean())
 
     for step in range(args.steps):
         idx = rng.choice(n, args.batch_size, replace=False)
@@ -269,6 +283,8 @@ def main():
             stats["tran_argmax_hist"][int(i)] += 1
         for i in np.argmax(rp.numpy(), axis=1):
             stats["conv_argmax_hist"][int(i)] += 1
+        stats["tran_rep_cos"].append(_mean_pairwise_cos(np.asarray(trep)))
+        stats["conv_rep_cos"].append(_mean_pairwise_cos(np.asarray(rep)))
 
     report = {
         "checkpoint": args.checkpoint,
@@ -284,6 +300,8 @@ def main():
         "torch_conv_pass_per_class": (per_class_c / args.steps).tolist(),
         "tran_gate_argmax_hist": stats["tran_argmax_hist"],
         "conv_gate_argmax_hist": stats["conv_argmax_hist"],
+        "tran_rep_mean_abs_cos": float(np.mean(stats["tran_rep_cos"])),
+        "conv_rep_mean_abs_cos": float(np.mean(stats["conv_rep_cos"])),
     }
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:

@@ -13,6 +13,8 @@ single device call. Metrics stay on host (scipy EDT).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -74,6 +76,9 @@ class VolumePredictor:
             return decide(out).astype(jnp.int32)
 
         self._fwd = jax.jit(fwd)
+        self._fwd_i8 = jax.jit(
+            lambda variables, x: fwd(variables, x).astype(jnp.int8)
+        )
 
     def predict_volume(self, variables, image: np.ndarray) -> np.ndarray:
         """image: (D, H, W) float32 -> (D, H, W) int32 prediction."""
@@ -86,6 +91,9 @@ class VolumePredictor:
             )
         x = jnp.asarray(zoomed[..., None])  # (D', H, W, 1)
         pred = np.asarray(jax.device_get(self._fwd(variables, x)))[:d]
+        return self._zoom_back(pred, h, w).astype(np.int32)
+
+    def _zoom_back(self, pred, h, w):
         # zoom back to native resolution (order-0), one gather for the stack
         if (h, w) != self.patch_size:
             ri = np.clip(
@@ -104,6 +112,55 @@ class VolumePredictor:
             )
             pred = pred[:, ri[:, None], ci[None, :]]
         return pred.astype(np.int32)
+
+    def predict_volumes(self, variables, images) -> list:
+        """Whole-val-set inference in CHUNK-slice device calls.
+
+        The per-volume path pays one tunnel round trip (25-75 ms RTT on
+        this backend) + dispatch per volume; at 20 volumes every 200
+        iterations that made validation ~80% of DMPLS wall-clock. Here
+        every volume's zoomed/padded stack is concatenated, padded to a
+        multiple of one fixed chunk size, and run in identical-shape
+        calls — one compiled program, ~4 round trips for a whole fold.
+        Predictions travel back as int8 (classes < 128) to quarter the
+        download. Per-volume results are bit-identical to predict_volume
+        (same program on the same padded slices; tested in
+        tests/test_val2d.py).
+        """
+        chunk = max(self.bucket, 64)
+        zoomed, depths = [], []
+        for im in images:
+            im = np.asarray(im)
+            z = _zoom_stack(im.astype(np.float32), self.patch_size)
+            pad = (-z.shape[0]) % self.bucket
+            if pad:
+                z = np.concatenate(
+                    [z, np.zeros((pad, *self.patch_size), np.float32)],
+                    axis=0,
+                )
+            zoomed.append(z)
+            depths.append((im.shape[0], z.shape[0]))
+        big = np.concatenate(zoomed, axis=0)
+        total_pad = (-big.shape[0]) % chunk
+        if total_pad:
+            big = np.concatenate(
+                [big, np.zeros((total_pad, *self.patch_size), np.float32)],
+                axis=0,
+            )
+        parts = []
+        for i in range(0, big.shape[0], chunk):
+            x = jnp.asarray(big[i:i + chunk][..., None])
+            parts.append(np.asarray(jax.device_get(self._fwd_i8(variables, x))))
+        flat = np.concatenate(parts, axis=0)
+        preds, off = [], 0
+        for im, (d, dp) in zip(images, depths):
+            h, w = np.asarray(im).shape[1:]
+            preds.append(
+                self._zoom_back(flat[off:off + d].astype(np.int32), h, w)
+                .astype(np.int32)
+            )
+            off += dp
+        return preds
 
 
 def test_single_volume(image, label, predictor, variables, classes: int,
@@ -125,13 +182,26 @@ def evaluate_fold(predictor, variables, volumes, classes: int,
     """
     metric_fn = calculate_metric_percase_nan if nan_aware else (
         calculate_metric_percase)
-    per_volume = [
-        test_single_volume(
-            vol["image"], vol["label"], predictor, variables, classes,
-            metric_fn=metric_fn,
+    if os.environ.get("WSL4MIS_BATCHED_VAL", "1") != "0" and hasattr(
+            predictor, "predict_volumes"):
+        preds = predictor.predict_volumes(
+            variables, [vol["image"] for vol in volumes]
         )
-        for vol in volumes
-    ]
+        per_volume = [
+            [
+                metric_fn(pred == i, np.asarray(vol["label"]) == i)
+                for i in range(1, classes)
+            ]
+            for pred, vol in zip(preds, volumes)
+        ]
+    else:
+        per_volume = [
+            test_single_volume(
+                vol["image"], vol["label"], predictor, variables, classes,
+                metric_fn=metric_fn,
+            )
+            for vol in volumes
+        ]
     arr = np.asarray(per_volume, np.float64)
     if nan_aware:
         with np.errstate(invalid="ignore"):
