@@ -49,6 +49,14 @@ run_watch() {
   return "$rc"
 }
 
+# chain A's test guard checked a wrong snapshot path (exp contains a
+# slash: model/ACDC/pCE_SPS_fold1); run the DMPLS offline test here if
+# the checkpoint exists and chain A skipped it.
+if [ -f model/ACDC/pCE_SPS_fold1/scribble/iter_60000.pth ]; then
+  run_watch model/r4_dmpls_testB_fold1.log 2100 600 - python \
+    scripts/test_2D_fully_sps.py --fold fold1 --no_save
+fi
+
 WSL4MIS_POOL_IMPL=pallas run_watch model/r4_bench_pool_pallas.json \
   900 420 - python bench.py
 WSL4MIS_POOL_IMPL=pallas WSL4MIS_POOL_COMPACT=reshape run_watch \
