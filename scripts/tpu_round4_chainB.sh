@@ -62,6 +62,14 @@ WSL4MIS_POOL_IMPL=pallas run_watch model/r4_bench_pool_pallas.json \
 WSL4MIS_POOL_IMPL=pallas WSL4MIS_POOL_COMPACT=reshape run_watch \
   model/r4_bench_pool_pallas_rs.json 900 420 - python bench.py
 
+# fresh step trace with the Pallas pool (formatting-row attribution),
+# only if its bench compiled+ran
+if grep -q '"metric"' model/r4_bench_pool_pallas.json.1 2>/dev/null; then
+  WSL4MIS_POOL_IMPL=pallas TRACE_METHOD=fully_supervised \
+    TRACE_DIR=/tmp/trace_r4pool run_watch model/r4_trace_pool.log 1500 600 - \
+    python scripts/capture_trace.py
+fi
+
 NOW=$(date +%s)
 TMO=$((DEADLINE - NOW - RESERVE))
 if [ "$TMO" -gt 1800 ]; then
