@@ -57,3 +57,19 @@ def test_evaluate_fold_batched_matches_loop():
     finally:
         del os.environ["WSL4MIS_BATCHED_VAL"]
     np.testing.assert_allclose(batched, looped, rtol=0, atol=0)
+
+
+def test_vol_cache_hit_and_miss():
+    pred, variables, vols, rng = _setup()
+    first = pred.predict_volumes(variables, vols)
+    assert hasattr(pred, "_vol_cache")
+    chunks_before = pred._vol_cache[2]
+    second = pred.predict_volumes(variables, list(vols))  # same arrays
+    assert pred._vol_cache[2] is chunks_before  # cache hit, no re-upload
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a, b)
+    other = [rng.rand(4, 32, 32).astype(np.float32) for _ in range(3)]
+    out = pred.predict_volumes(variables, other)  # miss: rebuilt cache
+    assert pred._vol_cache[2] is not chunks_before
+    for v, o in zip(other, out):
+        np.testing.assert_array_equal(o, pred.predict_volume(variables, v))

@@ -123,38 +123,53 @@ class VolumePredictor:
         multiple of one fixed chunk size, and run in identical-shape
         calls — one compiled program, ~4 round trips for a whole fold.
         Predictions travel back as int8 (classes < 128) to quarter the
-        download. Per-volume results are bit-identical to predict_volume
-        (same program on the same padded slices; tested in
-        tests/test_val2d.py).
+        download. A val set is immutable across a training run, so the
+        zoomed/padded/chunked device arrays are cached after the first
+        call (keyed on the identity of the first volume) — later vals
+        upload nothing. Per-volume results are bit-identical to
+        predict_volume (same program on the same padded slices; tested in
+        tests/test_val2d_batched.py).
         """
         chunk = max(self.bucket, 64)
-        zoomed, depths = [], []
-        for im in images:
-            im = np.asarray(im)
-            z = _zoom_stack(im.astype(np.float32), self.patch_size)
-            pad = (-z.shape[0]) % self.bucket
-            if pad:
-                z = np.concatenate(
-                    [z, np.zeros((pad, *self.patch_size), np.float32)],
+        cached = getattr(self, "_vol_cache", None)
+        # identity check holds a strong ref to the first volume, so its
+        # id cannot be recycled for a different array (fold sweeps)
+        if (cached is not None and len(images)
+                and cached[0] is images[0] and cached[1] == len(images)):
+            _, _, chunks, depths, shapes = cached
+        else:
+            zoomed, depths, shapes = [], [], []
+            for im in images:
+                im = np.asarray(im)
+                z = _zoom_stack(im.astype(np.float32), self.patch_size)
+                pad = (-z.shape[0]) % self.bucket
+                if pad:
+                    z = np.concatenate(
+                        [z, np.zeros((pad, *self.patch_size), np.float32)],
+                        axis=0,
+                    )
+                zoomed.append(z)
+                depths.append((im.shape[0], z.shape[0]))
+                shapes.append(im.shape[1:])
+            big = np.concatenate(zoomed, axis=0)
+            total_pad = (-big.shape[0]) % chunk
+            if total_pad:
+                big = np.concatenate(
+                    [big, np.zeros((total_pad, *self.patch_size), np.float32)],
                     axis=0,
                 )
-            zoomed.append(z)
-            depths.append((im.shape[0], z.shape[0]))
-        big = np.concatenate(zoomed, axis=0)
-        total_pad = (-big.shape[0]) % chunk
-        if total_pad:
-            big = np.concatenate(
-                [big, np.zeros((total_pad, *self.patch_size), np.float32)],
-                axis=0,
-            )
-        parts = []
-        for i in range(0, big.shape[0], chunk):
-            x = jnp.asarray(big[i:i + chunk][..., None])
-            parts.append(np.asarray(jax.device_get(self._fwd_i8(variables, x))))
+            chunks = [
+                jax.device_put(jnp.asarray(big[i:i + chunk][..., None]))
+                for i in range(0, big.shape[0], chunk)
+            ]
+            self._vol_cache = (images[0], len(images), chunks, depths, shapes)
+        parts = [
+            np.asarray(jax.device_get(self._fwd_i8(variables, x)))
+            for x in chunks
+        ]
         flat = np.concatenate(parts, axis=0)
         preds, off = [], 0
-        for im, (d, dp) in zip(images, depths):
-            h, w = np.asarray(im).shape[1:]
+        for (h, w), (d, dp) in zip(shapes, depths):
             preds.append(
                 self._zoom_back(flat[off:off + d].astype(np.int32), h, w)
                 .astype(np.int32)
