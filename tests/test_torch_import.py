@@ -134,7 +134,7 @@ def test_convert_and_merge_roundtrip(model_name):
     # stem patching: in_channels=1 sums the RGB filters
     # (efficient_encoder.py:53-54)
     stem = np.asarray(merged["params"][scope]["Conv_0"]["kernel"])
-    want = sd["_conv_stem.weight"].sum(axis=1).transpose(1, 2, 0)
+    want = np.asarray(sd["_conv_stem.weight"]).sum(axis=1).transpose(1, 2, 0)
     np.testing.assert_allclose(stem[..., 0, :], want, rtol=1e-6)
 
     # merged tree still runs
