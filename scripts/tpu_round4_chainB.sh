@@ -12,7 +12,7 @@ cd /root/repo
 mkdir -p model
 
 DEADLINE=1787133860           # round start + 9h (PROGRESS.jsonl wall_s)
-RESERVE=2900                  # test stage + driver bench slack
+RESERVE=2300                  # test stage + driver bench slack
 
 # run_watch <logfile> <timeout_s> <stale_s> <resume_flag|-> <cmd...>
 run_watch() {
@@ -61,6 +61,9 @@ WSL4MIS_POOL_IMPL=pallas run_watch model/r4_bench_pool_pallas.json \
   900 420 - python bench.py
 WSL4MIS_POOL_IMPL=pallas WSL4MIS_POOL_COMPACT=reshape run_watch \
   model/r4_bench_pool_pallas_rs.json 900 420 - python bench.py
+# does killing the relayout seam move the dispatch-amortization optimum?
+WSL4MIS_POOL_IMPL=pallas BENCH_BATCH=48 run_watch \
+  model/r4_bench_pool_pallas_b48.json 900 420 - python bench.py
 
 # fresh step trace with the Pallas pool (formatting-row attribution),
 # only if its bench compiled+ran
@@ -79,7 +82,7 @@ if [ "$TMO" -gt 1800 ]; then
 fi
 
 if [ -f model/ACDC_ScribbleVC_MAAGfold/scribble/scribblevc_best_model.pth ]; then
-  run_watch model/r4_scribblevc_test.log 2100 600 - python \
+  run_watch model/r4_scribblevc_test.log 1500 600 - python \
     scripts/test_ACDC_scribblevc.py
 fi
 
