@@ -86,4 +86,11 @@ if [ -f model/ACDC_ScribbleVC_MAAGfold/scribble/scribblevc_best_model.pth ]; the
     scripts/test_ACDC_scribblevc.py
 fi
 
+# conv-ceiling rerun (fixed fence, VERDICT item 7) only if slack remains
+NOW=$(date +%s)
+if [ $((DEADLINE - NOW)) -gt 1900 ]; then
+  run_watch model/r4_bench_conv.json $((DEADLINE - NOW - 400)) 600 - \
+    python scripts/bench_conv.py
+fi
+
 echo CHAIN_R4B_DONE
