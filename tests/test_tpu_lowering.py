@@ -1,0 +1,113 @@
+"""TPU-backed lowering smoke for every Pallas kernel's non-interpret path.
+
+Round-4 postmortem: the Pallas max-pool kernel passed full bit-parity in
+interpret mode but failed Mosaic lowering on the real chip (non-unit-step
+getitem -> gather, "Only 2D gather is supported"), killing a whole TPU
+chain (RESULTS.md round 4). Interpret mode executes the kernel body as
+plain jnp, so lowering-only failures are invisible to the CPU suite.
+
+This module compiles (does not run) each kernel fwd+bwd for the real
+backend. Under pytest the conftest pins JAX to CPU, so these tests skip;
+run the same checks against the live chip with
+
+    python tests/test_tpu_lowering.py        # ambient JAX_PLATFORMS=axon
+
+which any TPU chain should do once before committing hours to a config
+that enables a new kernel.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _backend_is_tpu():
+    import jax
+
+    return jax.devices()[0].platform in ("tpu", "axon")
+
+
+def _compile(fn, *args):
+    import jax
+
+    jax.jit(fn).lower(*args).compile()
+
+
+def _smokes():
+    """Yield (name, thunk) pairs; each thunk compiles one kernel path."""
+    import jax
+    import jax.numpy as jnp
+
+    from wsl4mis_tpu.ops.pallas.augment_pallas import augment_batch_pallas
+    from wsl4mis_tpu.ops.pallas.banded_conv_pallas import (
+        banded_conv3x3_pallas,
+        eligible,
+    )
+    from wsl4mis_tpu.ops.pallas.gated_crf_pallas import gated_crf_loss_pallas
+    from wsl4mis_tpu.ops.pallas.maxpool_pallas import max_pool_2x2_pallas
+
+    key = jax.random.PRNGKey(0)
+
+    def pool():
+        x = jax.random.normal(key, (2, 64, 256, 16), jnp.bfloat16)
+
+        def f(x):
+            return jnp.sum(max_pool_2x2_pallas(x).astype(jnp.float32))
+
+        _compile(jax.value_and_grad(f), x)
+
+    def conv():
+        x = jax.random.normal(key, (2, 256, 256, 16), jnp.bfloat16)
+        k = jax.random.normal(key, (3, 3, 16, 16), jnp.bfloat16)
+        b = jnp.zeros((16,), jnp.bfloat16)
+        assert eligible(x.shape, k.shape)
+
+        def f(x, k, b):
+            return jnp.sum(
+                banded_conv3x3_pallas(x, k, b).astype(jnp.float32)
+            )
+
+        _compile(jax.value_and_grad(f, argnums=(0, 1, 2)), x, k, b)
+
+    def crf():
+        p = jax.nn.softmax(jax.random.normal(key, (2, 64, 64, 4)), axis=-1)
+        img = jax.random.normal(key, (2, 64, 64, 1))
+
+        def f(p):
+            return gated_crf_loss_pallas(p, img)
+
+        _compile(jax.value_and_grad(f), p)
+
+    def aug():
+        imgs = jax.random.normal(key, (4, 256, 256), jnp.float32)
+        labs = jnp.zeros((4, 256, 256), jnp.int32)
+        _compile(lambda r: augment_batch_pallas(r, imgs, labs), key)
+
+    yield "maxpool", pool
+    yield "banded_conv", conv
+    yield "gated_crf", crf
+    yield "augment", aug
+
+
+@pytest.mark.slow
+def test_tpu_lowering_all():
+    if not _backend_is_tpu():
+        pytest.skip("real TPU backend required (conftest pins CPU)")
+    for name, thunk in _smokes():
+        thunk()
+
+
+if __name__ == "__main__":
+    ok = True
+    for name, thunk in _smokes():
+        try:
+            thunk()
+            print(f"LOWER_OK {name}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            ok = False
+            msg = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
+            print(f"LOWER_FAIL {name}: {msg}", flush=True)
+    sys.exit(0 if ok else 1)

@@ -13,19 +13,32 @@ themselves relayout-class copies (RESULTS.md rounds 3-4). A Pallas pool
 pins the SAME default layout as the conv kernels on both operands and
 results, so no relayout seam can exist between pool and conv.
 
-Forward: roll-based window max — xh = max(x, roll(x,-1,H)) then
-xw = max(xh, roll(xh,-1,W)) puts each window's max at its even-even
-corner; one strided select compacts it. jnp.roll lowers to stride-1
-slices + concat (always supported); the only risky lowering is the final
-stride-2 select (see _compact).
+Forward: split-reshape + max — (2bh, W, C) -> (bh, 2, W, C) -> max over
+axis 1, then (bh, W, C) -> (bh, W/2, 2, C) -> max over axis 2. The
+sublane-split reshape is the ONE stride-2-equivalent this Mosaic
+backend actually compiles; every other formulation was probed on-chip
+and fails (tests/test_tpu_lowering.py guards the survivor):
+  * non-unit-step getitem -> gather ("Only 2D gather is supported");
+  * lax.slice with strides -> vector.extract_strided_slice whose MLIR
+    verifier requires strides in [1, 2);
+  * stride-2 ref loads (pl.Slice(0, n, 2)) on either the outer or the
+    sublane dim -> tpu_compile_helper backend crash (HTTP 500).
 
 Backward: NO compaction or upsampling in-kernel. The wrapper upsamples
 y and g to full resolution in XLA (broadcast+collapse, fuses into the
-operand producer); the kernel is pure elementwise + rolls:
+operand producer); the kernel is pure elementwise + unit SHIFTS:
   e[h,w]    = (x == y_up)                    window-max membership
   earlier   = any e at a row-major-earlier tap of the same window
-              (built from rolls of e, masked by h/w parity)
+              (built from zero-filled unit shifts of e, masked by h/w
+              parity — jnp.roll AND pltpu.roll fail Mosaic lowering here
+              with `in_bounds_vreg.getType() == native_vreg_ty`; a
+              unit-stride slice + concat shift compiles on both the
+              untiled and sublane axes, probed on-chip)
   dx        = where(e & ~earlier, g_up, 0)
+Shifts never cross a window boundary that matters: windows are 2x2
+aligned to even indices and blocks are even-height (2*bh), so every
+earlier-tap neighbor lives in the same block; the zero fill only lands
+at positions the parity masks already exclude.
 which reproduces select-and-scatter's FIRST-max tie routing exactly
 (post-ReLU maps tie at 0.0 constantly, so tie routing is load-bearing;
 torch also routes to the first max — reference
@@ -38,7 +51,6 @@ tests/test_maxpool_pallas.py (interpret mode).
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -55,38 +67,49 @@ def _bh_for(h2: int, w: int, c: int, itemsize: int) -> int:
     return 1
 
 
-def _compact(xw):
-    """(2bh, W, C) -> (bh, W/2, C): select even h (untiled dim — free)
-    and even w (sublane stride-2 slice). WSL4MIS_POOL_COMPACT=reshape
-    switches to a sublane-split reshape + unit slice in case a Mosaic
-    version rejects strided sublane slices."""
-    if os.environ.get("WSL4MIS_POOL_COMPACT") == "reshape":
-        h2w = xw.shape[0] // 2
-        r = xw[0::2].reshape(h2w, xw.shape[1] // 2, 2, xw.shape[2])
-        return r[:, :, 0, :]
-    return xw[0::2, 0::2, :]
-
-
 def _fwd_kernel(x_ref, o_ref):
     x = x_ref[0]                                    # (2bh, W, C)
-    xh = jnp.maximum(x, jnp.roll(x, -1, axis=0))    # even h: H-pair max
-    xw = jnp.maximum(xh, jnp.roll(xh, -1, axis=1))  # even-even: window max
-    o_ref[0] = _compact(xw)
+    h2b, w, c = x.shape
+    xh = jnp.max(x.reshape(h2b // 2, 2, w, c), axis=1)
+    o_ref[0] = jnp.max(xh.reshape(h2b // 2, w // 2, 2, c), axis=2)
+
+
+def _shift1(a, axis, forward):
+    """Zero-filled unit shift along axis 0/1 of a 3D array via unit-stride
+    slice + concat (the one neighbor-access lowering this Mosaic backend
+    compiles; see module docstring). forward=True yields a'[i] = a[i-1]."""
+    zshape = list(a.shape)
+    zshape[axis] = 1
+    z = jnp.zeros(zshape, a.dtype)
+    sl = [slice(None)] * 3
+    if forward:
+        sl[axis] = slice(0, a.shape[axis] - 1)
+        return jnp.concatenate([z, a[tuple(sl)]], axis=axis)
+    sl[axis] = slice(1, a.shape[axis])
+    return jnp.concatenate([a[tuple(sl)], z], axis=axis)
 
 
 def _bwd_kernel(x_ref, yup_ref, gup_ref, dx_ref):
-    x = x_ref[0]
-    e = x == yup_ref[0]
+    # ALL comparisons upcast to f32: any bf16 cmp -> i1 fails Mosaic
+    # lowering on this backend (`in_bounds_vreg.getType() ==
+    # native_vreg_ty` assert), while the identical f32 cmp compiles —
+    # probed on-chip, guarded by tests/test_tpu_lowering.py. bf16->f32 is
+    # exact, so equality (incl. tie routing) is unchanged.
+    x = x_ref[0].astype(jnp.float32)
+    e = x == yup_ref[0].astype(jnp.float32)
     hh = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     ww = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     h_odd = (hh % 2) == 1
     w_odd = (ww % 2) == 1
-    ew = jnp.roll(e, 1, axis=1)        # e at (h,   w-1)
-    eh = jnp.roll(e, 1, axis=0)        # e at (h-1, w  )
-    ehw = jnp.roll(eh, 1, axis=1)      # e at (h-1, w-1)
-    ehwp = jnp.roll(eh, -1, axis=1)    # e at (h-1, w+1)
-    # row-major earlier-tap presence per window position; roll wraps only
-    # reach positions the parity masks exclude (w=0 is even, h=0 is even)
+    # shift a numeric 0/1 mask, not the i1 vector (safer vreg types)
+    en = jnp.where(e, jnp.ones((), jnp.float32), jnp.zeros((), jnp.float32))
+    ew = _shift1(en, 1, True) > 0      # e at (h,   w-1)
+    ehn = _shift1(en, 0, True)
+    eh = ehn > 0                       # e at (h-1, w  )
+    ehw = _shift1(ehn, 1, True) > 0    # e at (h-1, w-1)
+    ehwp = _shift1(ehn, 1, False) > 0  # e at (h-1, w+1)
+    # row-major earlier-tap presence per window position; the zero fill
+    # only reaches positions the parity masks exclude (w=0, h=0 are even)
     earlier = (
         (~h_odd & w_odd & ew)
         | (h_odd & ~w_odd & (eh | ehwp))
