@@ -40,6 +40,14 @@ DEFAULT_CONFIGS = [
     ("dmpls6_fused2", "dmpls", 6, {"WSL4MIS_POOL_IMPL": "fused2"}),
     ("dmpls6_fused2_route", "dmpls", 6,
      {"WSL4MIS_POOL_IMPL": "fused2", "WSL4MIS_BANDED_ROUTE": "measured"}),
+    # round-4 Pallas pool kernel (layout-pinned on both sides of every
+    # pool; ops/pallas/maxpool_pallas.py) vs the reduce-window default
+    ("fs24_pool_pallas", "fully_supervised", 24,
+     {"WSL4MIS_POOL_IMPL": "pallas"}),
+    ("pce24_pool_pallas", "pce", 24, {"WSL4MIS_POOL_IMPL": "pallas"}),
+    ("dmpls6_pool_pallas", "dmpls", 6, {"WSL4MIS_POOL_IMPL": "pallas"}),
+    ("crf6_pool_pallas", "pce_gatedcrf", 6,
+     {"WSL4MIS_POOL_IMPL": "pallas"}),
 ]
 
 KNOB_KEYS = (

@@ -34,7 +34,12 @@ class FusedBatchNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, use_running_average: bool | None = None):
+    def __call__(self, x, use_running_average: bool | None = None,
+                 moments=None):
+        """moments: optional (s1, s2) per-channel f32 sums of x and x^2
+        (e.g. from banded_conv3x3_pallas_stats' epilogue) — skips the
+        full-tensor stats reduction; semantics identical to computing
+        them here (same one-pass mean/var formula)."""
         use_ra = nn.merge_param(
             "use_running_average", self.use_running_average,
             use_running_average,
@@ -53,10 +58,15 @@ class FusedBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             n = x.size // c
-            xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axes)
+            if moments is not None:
+                s1, s2 = moments
+                mean = s1 / n
+                mean2 = s2 / n
+            else:
+                xf = x.astype(jnp.float32)
+                mean = jnp.mean(xf, axes)
+                mean2 = jnp.mean(jnp.square(xf), axes)
             # one-pass (fast) variance, clamped against cancellation
-            mean2 = jnp.mean(jnp.square(xf), axes)
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 m = self.momentum

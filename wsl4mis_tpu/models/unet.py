@@ -92,6 +92,7 @@ class _ConvOp(nn.Module):
     dtype: Dtype
     kernel_init: Any
     bias_init: Any
+    with_stats: bool = False  # return (y, s1, s2) on the pallas path
 
     @nn.compact
     def __call__(self, x):
@@ -108,11 +109,19 @@ class _ConvOp(nn.Module):
         if impl == "pallas":
             from ..ops.pallas.banded_conv_pallas import (
                 banded_conv3x3_pallas,
+                banded_conv3x3_pallas_stats,
                 eligible,
             )
 
             if eligible(xx.shape, kshape):
-                return banded_conv3x3_pallas(xx, k, bias.astype(self.dtype))
+                b = bias.astype(self.dtype)
+                if self.with_stats:
+                    # conv + BN moments in one kernel pass (epilogue);
+                    # caller feeds them to FusedBatchNorm(moments=...)
+                    return banded_conv3x3_pallas_stats(
+                        xx, k, b, interpret=not _on_tpu()
+                    )
+                return banded_conv3x3_pallas(xx, k, b)
         elif impl == "banded":
             from ..ops.banded_conv import banded_conv3x3, small_channel_eligible
 
@@ -131,6 +140,7 @@ class TorchConv(nn.Module):
     features: int
     kernel_size: tuple[int, int] = (3, 3)
     dtype: Dtype = jnp.bfloat16
+    with_stats: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -143,6 +153,7 @@ class TorchConv(nn.Module):
             self.dtype,
             _uniform_bound(bound),
             _uniform_bound(bound),
+            with_stats=self.with_stats,
             name="Conv_0",
         )(x)
 
@@ -270,8 +281,13 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        x = TorchConv(self.features, dtype=self.dtype)(x)
-        x = batch_norm(x, train=train, name="BatchNorm_0")
+        # WSL4MIS_BN_STATS=epilogue: the banded conv kernel emits BN
+        # moments from its epilogue (banded_conv3x3_pallas_stats) so
+        # FusedBatchNorm skips its full-tensor stats reduction.
+        want_stats = (
+            train and os.environ.get("WSL4MIS_BN_STATS") == "epilogue"
+        )
+        x = self._conv_bn(x, "BatchNorm_0", want_stats, train)
         x = nn.leaky_relu(x, negative_slope=0.01).astype(self.dtype)
         if self.dropout_p > 0 and train:
             # Inline dropout in compute dtype: nn.Dropout's where(mask,
@@ -283,10 +299,21 @@ class ConvBlock(nn.Module):
                 self.make_rng("dropout"), keep, x.shape
             )
             x = x * (mask.astype(self.dtype) * jnp.asarray(1.0 / keep, self.dtype))
-        x = TorchConv(self.features, dtype=self.dtype)(x)
-        x = batch_norm(x, train=train, name="BatchNorm_1")
+        x = self._conv_bn(x, "BatchNorm_1", want_stats, train)
         x = nn.leaky_relu(x, negative_slope=0.01).astype(self.dtype)
         return x
+
+    def _conv_bn(self, x, bn_name, want_stats, train):
+        out = TorchConv(
+            self.features, dtype=self.dtype, with_stats=want_stats
+        )(x)
+        if isinstance(out, tuple):  # pallas path honored the request
+            y, s1, s2 = out
+            return FusedBatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                name=bn_name,
+            )(y, moments=(s1, s2))
+        return batch_norm(out, train=train, name=bn_name)
 
 
 class Encoder(nn.Module):

@@ -171,15 +171,12 @@ def _window_pieces(b5, plan: Plan):
             )
 
 
-def _fwd_kernel(x0_ref, x1_ref, w_ref, b_ref, out_ref, *, plan: Plan):
-    # The accumulator/output stay 3-D (BH, G, Nhat) with Nhat 128-padded:
-    # Mosaic rejects lane-collapsing reshapes like (BH, G, 64)->(BH, G*64)
-    # (infer-vector-layout "unsupported shape cast", hit on the 32->16
-    # decoder conv); the wrapper does the slice+flatten in XLA where it
-    # fuses into the consumer.
-    bh, g, n = plan.bh, plan.g, _ceil128(plan.j * plan.o)
+def _acc_conv(x0_ref, x1_ref, w_ref, plan: Plan):
+    """Shared fwd contraction: (BH, G, Nhat) f32 accumulator."""
+    bh, g = plan.bh, plan.g
     rows = jnp.concatenate([x0_ref[0], x1_ref[0][:2]], axis=0)
     b5 = rows.reshape(bh + 2, plan.l // 128, 128)
+    n = _ceil128(plan.j * plan.o)
     acc = jnp.zeros((bh, g, n), jnp.float32)
     for a, row0, width in _window_pieces(b5, plan):
         acc = acc + jax.lax.dot_general(
@@ -210,8 +207,55 @@ def _fwd_kernel(x0_ref, x1_ref, w_ref, b_ref, out_ref, *, plan: Plan):
                     t, wpiece, (((2,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+    return acc
+
+
+def _fwd_kernel(x0_ref, x1_ref, w_ref, b_ref, out_ref, *, plan: Plan):
+    # The accumulator/output stay 3-D (BH, G, Nhat) with Nhat 128-padded:
+    # Mosaic rejects lane-collapsing reshapes like (BH, G, 64)->(BH, G*64)
+    # (infer-vector-layout "unsupported shape cast", hit on the 32->16
+    # decoder conv); the wrapper does the slice+flatten in XLA where it
+    # fuses into the consumer.
+    acc = _acc_conv(x0_ref, x1_ref, w_ref, plan)
     acc = acc + b_ref[0].astype(jnp.float32)
     out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _fwd_stats_kernel(
+    x0_ref, x1_ref, w_ref, b_ref, out_ref, st_ref, *, plan: Plan
+):
+    """Forward + per-lane channel-moment partials in the epilogue.
+
+    st_ref is a (2, Nhat) f32 grid accumulator: row 0 sums y, row 1 sums
+    y*y over all (batch, row-block) grid cells — computed from the
+    ROUNDED output values so the moments are bit-comparable to an XLA
+    reduce over the stored y (FusedBatchNorm's f32-stats contract). Lanes
+    belonging to right-edge pixel padding (group*J + lane//O >= W) are
+    masked out; weight/bias lane padding contributes exact zeros anyway.
+    The wrapper folds (Nhat,) -> (J, O) -> (O,) in XLA (lane-collapsing
+    reshapes don't lower in Mosaic).
+    """
+    acc = _acc_conv(x0_ref, x1_ref, w_ref, plan)
+    acc = acc + b_ref[0].astype(jnp.float32)
+    y = acc.astype(out_ref.dtype)
+    out_ref[0] = y
+    bh, g = plan.bh, plan.g
+    n = _ceil128(plan.j * plan.o)
+    gi = jax.lax.broadcasted_iota(jnp.int32, (bh, g, n), 1)
+    li = jax.lax.broadcasted_iota(jnp.int32, (bh, g, n), 2)
+    real = (gi * plan.j + li // plan.o) < plan.w
+    yf = jnp.where(real, y.astype(jnp.float32), 0.0)
+    # stay 2-D end to end (1-D vectors and stack/new-axis concats are
+    # Mosaic lowering hazards on this backend — see maxpool_pallas.py)
+    s1 = jnp.sum(jnp.sum(yf, axis=0), axis=0, keepdims=True)        # (1, N)
+    s2 = jnp.sum(jnp.sum(yf * yf, axis=0), axis=0, keepdims=True)   # (1, N)
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _init():
+        st_ref[...] = jnp.zeros_like(st_ref)
+
+    st_ref[0:1, :] += s1
+    st_ref[1:2, :] += s2
 
 
 def _wgrad_kernel(x0_ref, x1_ref, g_ref, acc_ref, *, plan: Plan):
@@ -287,6 +331,40 @@ def _fwd_call_padded(xf, wb, btile, plan: Plan, interpret: bool):
         n, h, plan.g * plan.j, plan.o
     )
     return y[:, :, : plan.w, :]
+
+
+def _fwd_stats_call_padded(xf, wb, btile, plan: Plan, interpret: bool):
+    """Like _fwd_call_padded but the kernel also accumulates per-lane
+    channel moments; returns (y, s1, s2) with s1/s2 shaped (O,) f32."""
+    n, h = xf.shape[0], xf.shape[1] - plan.bh
+    nhat = _ceil128(plan.j * plan.o)
+    grid = (n, h // plan.bh)
+    out4, st = pl.pallas_call(
+        functools.partial(_fwd_stats_kernel, plan=plan),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, plan.bh, plan.l), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, plan.bh, plan.l), lambda i, j: (i, j + 1, 0)),
+            pl.BlockSpec((3 * plan.p * plan.c, nhat), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, nhat), lambda i, j: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, plan.bh, plan.g, nhat),
+                         lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((2, nhat), lambda i, j: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h, plan.g, nhat), xf.dtype),
+            jax.ShapeDtypeStruct((2, nhat), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xf, xf, wb, btile)
+    y = out4[..., : plan.j * plan.o].reshape(
+        n, h, plan.g * plan.j, plan.o
+    )[:, :, : plan.w, :]
+    # (Nhat,) lanes -> (J, O) -> (O,): trivial XLA-side fold
+    moments = st[:, : plan.j * plan.o].reshape(2, plan.j, plan.o).sum(1)
+    return y, moments[0], moments[1]
 
 
 def _group_cotangent(g_arr, plan: Plan):
@@ -365,8 +443,7 @@ def _banded_conv_fwd(interpret, x, kernel, bias):
     return out, (xf, kernel)
 
 
-def _banded_conv_bwd(interpret, res, g):
-    xf, kernel = res
+def _conv_bwd_core(interpret, xf, kernel, g):
     c, o = kernel.shape[2], kernel.shape[3]
     plan = plan_banded(c, o, g.shape[1], g.shape[2])
     krot = _rot_kernel(kernel).astype(g.dtype)
@@ -383,7 +460,47 @@ def _banded_conv_bwd(interpret, res, g):
     return dx.astype(xf.dtype), dk, db
 
 
+def _banded_conv_bwd(interpret, res, g):
+    xf, kernel = res
+    return _conv_bwd_core(interpret, xf, kernel, g)
+
+
 _banded_conv.defvjp(_banded_conv_fwd, _banded_conv_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _banded_conv_stats(interpret: bool, x, kernel, bias):
+    plan = plan_banded(x.shape[3], kernel.shape[3], x.shape[1], x.shape[2])
+    wb = _pad_n(band_weights3(kernel, plan), plan)
+    btile = _pad_n(jnp.tile(bias, plan.j)[None], plan)
+    return _fwd_stats_call_padded(
+        _pad_flat(x, plan), wb, btile, plan, interpret
+    )
+
+
+def _banded_conv_stats_fwd(interpret, x, kernel, bias):
+    plan = plan_banded(x.shape[3], kernel.shape[3], x.shape[1], x.shape[2])
+    wb = _pad_n(band_weights3(kernel, plan), plan)
+    btile = _pad_n(jnp.tile(bias, plan.j)[None], plan)
+    xf = _pad_flat(x, plan)
+    y, s1, s2 = _fwd_stats_call_padded(xf, wb, btile, plan, interpret)
+    # y is also the BN-apply operand downstream, so XLA already keeps the
+    # buffer alive for the step's backward; saving it here aliases that.
+    return (y, s1, s2), (xf, kernel, y)
+
+
+def _banded_conv_stats_bwd(interpret, res, cts):
+    xf, kernel, y = res
+    gy, gs1, gs2 = cts
+    # fold the moment cotangents into the output cotangent:
+    # d s1 / dy = 1, d s2 / dy = 2y  (per channel), then one shared core.
+    g32 = gy.astype(jnp.float32)
+    g32 = g32 + gs1[None, None, None, :]
+    g32 = g32 + 2.0 * y.astype(jnp.float32) * gs2[None, None, None, :]
+    return _conv_bwd_core(interpret, xf, kernel, g32.astype(gy.dtype))
+
+
+_banded_conv_stats.defvjp(_banded_conv_stats_fwd, _banded_conv_stats_bwd)
 
 
 def banded_conv3x3_pallas(x, kernel, bias=None, *, interpret: bool = False):
@@ -396,6 +513,24 @@ def banded_conv3x3_pallas(x, kernel, bias=None, *, interpret: bool = False):
     if bias is None:
         bias = jnp.zeros((kernel.shape[3],), x.dtype)
     return _banded_conv(interpret, x, kernel, bias.astype(x.dtype))
+
+
+def banded_conv3x3_pallas_stats(x, kernel, bias=None, *,
+                                interpret: bool = False):
+    """Conv + per-channel output moments in one kernel pass.
+
+    Returns (y, s1, s2): y as banded_conv3x3_pallas; s1[o] = sum(y[..,o]),
+    s2[o] = sum(y[..,o]^2), both f32 over the ROUNDED stored values —
+    bit-comparable to an f32 XLA reduce over y (FusedBatchNorm's stats),
+    but computed in the conv epilogue while the tile is still in VMEM, so
+    BatchNorm needs no separate full-tensor stats read. The VJP folds the
+    moment cotangents into dy (exact: 1 and 2y) and reuses the conv
+    backward. Reference parity: the moments feed BatchNorm2d exactly as
+    torch's running stats pipeline does (reference
+    /root/reference/code/networks/unet.py:20-24)."""
+    if bias is None:
+        bias = jnp.zeros((kernel.shape[3],), x.dtype)
+    return _banded_conv_stats(interpret, x, kernel, bias.astype(x.dtype))
 
 
 def eligible(x_shape, kernel_shape, strides=(1, 1)) -> bool:
