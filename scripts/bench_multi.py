@@ -48,12 +48,20 @@ DEFAULT_CONFIGS = [
     ("dmpls6_pool_pallas", "dmpls", 6, {"WSL4MIS_POOL_IMPL": "pallas"}),
     ("crf6_pool_pallas", "pce_gatedcrf", 6,
      {"WSL4MIS_POOL_IMPL": "pallas"}),
+    # round-4 BN-stats-in-conv-epilogue (banded_conv3x3_pallas_stats):
+    # the conv kernel emits per-channel sum/sum^2 so FusedBatchNorm skips
+    # its full-tensor stats reduction
+    ("fs24_bn_epilogue", "fully_supervised", 24,
+     {"WSL4MIS_BN_STATS": "epilogue"}),
+    ("dmpls6_bn_epilogue", "dmpls", 6, {"WSL4MIS_BN_STATS": "epilogue"}),
+    ("fs128_bn_epilogue", "fully_supervised", 128,
+     {"WSL4MIS_BN_STATS": "epilogue"}),
 ]
 
 KNOB_KEYS = (
     "WSL4MIS_POOL_IMPL", "WSL4MIS_BANDED_ROUTE", "WSL4MIS_CONV_IMPL",
     "WSL4MIS_BN_IMPL", "WSL4MIS_TCONV_IMPL", "WSL4MIS_AUG_IMPL",
-    "BENCH_BATCH",
+    "WSL4MIS_BN_STATS", "BENCH_BATCH",
 )
 
 
