@@ -56,12 +56,27 @@ DEFAULT_CONFIGS = [
     ("dmpls6_bn_epilogue", "dmpls", 6, {"WSL4MIS_BN_STATS": "epilogue"}),
     ("fs128_bn_epilogue", "fully_supervised", 128,
      {"WSL4MIS_BN_STATS": "epilogue"}),
+    # round-4 small-c banded admission (stem conv + head dgrad leave the
+    # W-minor-layout direct lowering): default-on vs legacy routing
+    ("fs24_smallc", "fully_supervised", 24, {}),
+    ("fs24_no_smallc", "fully_supervised", 24,
+     {"WSL4MIS_BANDED_SMALLC": "0"}),
+    ("dmpls6_smallc", "dmpls", 6, {}),
+    ("dmpls6_no_smallc", "dmpls", 6, {"WSL4MIS_BANDED_SMALLC": "0"}),
+    ("pce24_smallc", "pce", 24, {}),
+    # round-4 flat-chained ConvBlocks (grouped conv1 output -> dense-lane
+    # BN/act/dropout -> grouped-input conv2; no unpack/re-pad/relayout
+    # seam inside a block)
+    ("fs24_chain", "fully_supervised", 24, {"WSL4MIS_CONV_CHAIN": "flat"}),
+    ("dmpls6_chain", "dmpls", 6, {"WSL4MIS_CONV_CHAIN": "flat"}),
+    ("pce24_chain", "pce", 24, {"WSL4MIS_CONV_CHAIN": "flat"}),
 ]
 
 KNOB_KEYS = (
     "WSL4MIS_POOL_IMPL", "WSL4MIS_BANDED_ROUTE", "WSL4MIS_CONV_IMPL",
     "WSL4MIS_BN_IMPL", "WSL4MIS_TCONV_IMPL", "WSL4MIS_AUG_IMPL",
-    "WSL4MIS_BN_STATS", "BENCH_BATCH",
+    "WSL4MIS_BN_STATS", "WSL4MIS_BANDED_SMALLC", "WSL4MIS_CONV_CHAIN",
+    "BENCH_BATCH",
 )
 
 

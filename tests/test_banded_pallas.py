@@ -34,6 +34,9 @@ SHAPES = [
     (64, 64, 32, 32),
     (64, 32, 32, 32),
     (16, 16, 64, 50),   # W % J != 0 -> right-pad path
+    (1, 16, 8, 256),    # stem conv (small-c admission, round 4)
+    (4, 16, 8, 256),    # 4-class head's dgrad shape family
+    (4, 4, 8, 300),     # small-c + W % J != 0
 ]
 
 
@@ -52,7 +55,8 @@ def test_forward_matches_lax_conv(c, o, h, w):
 
 
 @pytest.mark.parametrize("c,o,h,w", [(16, 16, 32, 32), (32, 64, 32, 32),
-                                     (16, 32, 32, 32), (64, 32, 32, 32)])
+                                     (16, 32, 32, 32), (64, 32, 32, 32),
+                                     (1, 16, 8, 256), (4, 16, 8, 256)])
 def test_grads_match_lax_conv(c, o, h, w):
     key = jax.random.key(7)
     kx, kk, kb, kg = jax.random.split(key, 4)
@@ -80,8 +84,21 @@ def test_grads_match_lax_conv(c, o, h, w):
 def test_plan_rejects_losing_and_odd_shapes():
     # C=O=128: direct lowering is already lane-dense -> no win
     assert plan_banded(128, 128, 32, 32) is None
-    # tiny channel counts fragment the VMEM layout -> rejected
-    assert plan_banded(4, 16, 64, 64) is None
+    # tiny channel counts are admitted since round 4 (the W-minor relayout
+    # family fix); WSL4MIS_BANDED_SMALLC=0 restores the old rejection
+    assert plan_banded(4, 16, 64, 64) is not None
+    import os
+
+    os.environ["WSL4MIS_BANDED_SMALLC"] = "0"
+    plan_banded.cache_clear()
+    try:
+        assert plan_banded(4, 16, 64, 64) is None
+        assert plan_banded(1, 16, 8, 256) is None
+    finally:
+        del os.environ["WSL4MIS_BANDED_SMALLC"]
+        plan_banded.cache_clear()
+    # non-multiple-of-128 channel count -> rejected
+    assert plan_banded(3, 16, 64, 64) is None
     # H that does not block -> rejected
     assert plan_banded(16, 16, 63, 64) is None
     # (128, 64): the J*C==128 plan only ties the direct lowering -> None

@@ -35,16 +35,26 @@ class FusedBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, use_running_average: bool | None = None,
-                 moments=None):
+                 moments=None, lane_tile: int = 1):
         """moments: optional (s1, s2) per-channel f32 sums of x and x^2
         (e.g. from banded_conv3x3_pallas_stats' epilogue) — skips the
         full-tensor stats reduction; semantics identical to computing
-        them here (same one-pass mean/var formula)."""
+        them here (same one-pass mean/var formula).
+
+        lane_tile: >1 when x is a flat-chained GROUPED conv output whose
+        minor dim packs lane_tile pixels x C channels (lane l -> channel
+        l % C); the per-channel affine is tiled across the lanes. Requires
+        moments (the per-channel stats cannot be read off the lane dim
+        without a reduction)."""
         use_ra = nn.merge_param(
             "use_running_average", self.use_running_average,
             use_running_average,
         )
         c = x.shape[-1]
+        if lane_tile > 1:
+            assert moments is not None or use_ra
+            assert c % lane_tile == 0
+            c = c // lane_tile
         axes = tuple(range(x.ndim - 1))
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
@@ -75,4 +85,7 @@ class FusedBatchNorm(nn.Module):
                 ra_var.value = m * ra_var.value + (1 - m) * var
         mul = scale * jax.lax.rsqrt(var + self.epsilon)
         add = bias - mean * mul
+        if lane_tile > 1:
+            mul = jnp.tile(mul, lane_tile)
+            add = jnp.tile(add, lane_tile)
         return x * mul.astype(x.dtype) + add.astype(x.dtype)

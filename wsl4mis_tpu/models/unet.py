@@ -93,10 +93,16 @@ class _ConvOp(nn.Module):
     kernel_init: Any
     bias_init: Any
     with_stats: bool = False  # return (y, s1, s2) on the pallas path
+    grouped_out: bool = False   # flat chain: emit raw grouped (N,H,G,Nhat)
+    grouped_in_w: int = 0       # flat chain: input is grouped, width w
 
     @nn.compact
     def __call__(self, x):
-        kshape = (*self.kernel_size, x.shape[-1], self.features)
+        in_ch = (
+            x.shape[-1] if not self.grouped_in_w
+            else (x.shape[-2] * x.shape[-1]) // self.grouped_in_w
+        )
+        kshape = (*self.kernel_size, in_ch, self.features)
         kernel = self.param("kernel", self.kernel_init, kshape, jnp.float32)
         bias = self.param(
             "bias", self.bias_init, (self.features,), jnp.float32
@@ -106,6 +112,21 @@ class _ConvOp(nn.Module):
         impl = os.environ.get("WSL4MIS_CONV_IMPL")
         if impl is None:
             impl = "pallas" if _on_tpu() else "direct"
+        if self.grouped_out or self.grouped_in_w:
+            # flat-chained block path (caller checked chain eligibility)
+            from ..ops.pallas.banded_conv_pallas import (
+                banded_conv3x3_pallas_stats_grouped_in,
+                banded_conv3x3_pallas_stats_grouped_out,
+            )
+
+            b = bias.astype(self.dtype)
+            if self.grouped_in_w:
+                return banded_conv3x3_pallas_stats_grouped_in(
+                    xx, self.grouped_in_w, k, b, interpret=not _on_tpu()
+                )
+            return banded_conv3x3_pallas_stats_grouped_out(
+                xx, k, b, interpret=not _on_tpu()
+            )
         if impl == "pallas":
             from ..ops.pallas.banded_conv_pallas import (
                 banded_conv3x3_pallas,
@@ -121,7 +142,9 @@ class _ConvOp(nn.Module):
                     return banded_conv3x3_pallas_stats(
                         xx, k, b, interpret=not _on_tpu()
                     )
-                return banded_conv3x3_pallas(xx, k, b)
+                return banded_conv3x3_pallas(
+                    xx, k, b, interpret=not _on_tpu()
+                )
         elif impl == "banded":
             from ..ops.banded_conv import banded_conv3x3, small_channel_eligible
 
@@ -141,10 +164,15 @@ class TorchConv(nn.Module):
     kernel_size: tuple[int, int] = (3, 3)
     dtype: Dtype = jnp.bfloat16
     with_stats: bool = False
+    grouped_out: bool = False
+    grouped_in_w: int = 0
 
     @nn.compact
     def __call__(self, x):
-        in_ch = x.shape[-1]
+        in_ch = (
+            x.shape[-1] if not self.grouped_in_w
+            else (x.shape[-2] * x.shape[-1]) // self.grouped_in_w
+        )
         fan_in = in_ch * self.kernel_size[0] * self.kernel_size[1]
         bound = 1.0 / (fan_in ** 0.5)
         return _ConvOp(
@@ -154,6 +182,8 @@ class TorchConv(nn.Module):
             _uniform_bound(bound),
             _uniform_bound(bound),
             with_stats=self.with_stats,
+            grouped_out=self.grouped_out,
+            grouped_in_w=self.grouped_in_w,
             name="Conv_0",
         )(x)
 
@@ -281,6 +311,8 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool):
+        if self._chain_ok(x, train):
+            return self._chain_flat(x)
         # WSL4MIS_BN_STATS=epilogue: the banded conv kernel emits BN
         # moments from its epilogue (banded_conv3x3_pallas_stats) so
         # FusedBatchNorm skips its full-tensor stats reduction.
@@ -302,6 +334,72 @@ class ConvBlock(nn.Module):
         x = self._conv_bn(x, "BatchNorm_1", want_stats, train)
         x = nn.leaky_relu(x, negative_slope=0.01).astype(self.dtype)
         return x
+
+    def _chain_ok(self, x, train: bool) -> bool:
+        """Flat-chain eligibility (WSL4MIS_CONV_CHAIN=flat): train-time
+        pallas route where conv1's grouped output is byte-identical to its
+        4D output (dense_chainable) and conv2 is banded-eligible. Then
+        BN apply / LeakyReLU / dropout run on the dense grouped lanes and
+        NO unpack/re-pad/XLA-relayout seam exists inside the block —
+        the round-4 HLO/trace join billed those seams (H-/W-minor fusion
+        layouts + pad copies) above the pool itself. Bit-parity with the
+        4D path incl. the dropout stream (same row-major element order)
+        is tested in tests/test_conv_chain.py."""
+        if not train or x.ndim != 4:
+            return False
+        # default ON: measured fs24 32.8 -> 32.2 ms, pce24 31.3 -> 30.7,
+        # dmpls neutral (model/r4_bench_chain.json); bit-parity tested
+        if os.environ.get("WSL4MIS_CONV_CHAIN", "flat") != "flat":
+            return False
+        impl = os.environ.get("WSL4MIS_CONV_IMPL")
+        if impl is None:
+            impl = "pallas" if _on_tpu() else "direct"
+        if impl != "pallas":
+            return False
+        from ..ops.pallas.banded_conv_pallas import (
+            dense_chainable,
+            eligible,
+            plan_banded,
+        )
+
+        n, h, w, c = x.shape
+        k1 = (3, 3, c, self.features)
+        if not eligible(x.shape, k1):
+            return False
+        if not dense_chainable(plan_banded(c, self.features, h, w)):
+            return False
+        return eligible(
+            (n, h, w, self.features), (3, 3, self.features, self.features)
+        )
+
+    def _chain_flat(self, x):
+        from ..ops.pallas.banded_conv_pallas import plan_banded
+
+        n, h, w, c = x.shape
+        plan1 = plan_banded(c, self.features, h, w)
+        yg, s1, s2 = TorchConv(
+            self.features, dtype=self.dtype, grouped_out=True
+        )(x)
+        y = FusedBatchNorm(
+            use_running_average=False, momentum=0.9, epsilon=1e-5,
+            name="BatchNorm_0",
+        )(yg, moments=(s1, s2), lane_tile=plan1.j)
+        y = nn.leaky_relu(y, negative_slope=0.01).astype(self.dtype)
+        if self.dropout_p > 0:
+            keep = 1.0 - self.dropout_p
+            mask = jax.random.bernoulli(
+                self.make_rng("dropout"), keep, y.shape
+            )
+            y = y * (mask.astype(self.dtype)
+                     * jnp.asarray(1.0 / keep, self.dtype))
+        y4, s1b, s2b = TorchConv(
+            self.features, dtype=self.dtype, grouped_in_w=w
+        )(y)
+        y4 = FusedBatchNorm(
+            use_running_average=False, momentum=0.9, epsilon=1e-5,
+            name="BatchNorm_1",
+        )(y4, moments=(s1b, s2b))
+        return nn.leaky_relu(y4, negative_slope=0.01).astype(self.dtype)
 
     def _conv_bn(self, x, bn_name, want_stats, train):
         out = TorchConv(

@@ -87,12 +87,33 @@ def _direct_cost_per_pixel(c: int, o: int) -> float:
     return 2.0 * _ceil128(9 * c) * _ceil128(o)
 
 
-@functools.lru_cache(maxsize=None)
 def plan_banded(c: int, o: int, h: int, w: int) -> Plan | None:
     """Banded configuration for a (C,O,H,W) 3x3 conv, or None when the
     direct lowering is within 15% (C >= 128ish) or the shape doesn't
-    block cleanly. J is fixed by J*C == 128 (see module docstring)."""
-    if 128 % c or not (8 <= c <= 128):
+    block cleanly. J is fixed by J*C == 128 (see module docstring).
+
+    c < 8 (the stem's 1-channel input, the 4-class head's dgrad) is
+    admitted since round 4: the direct lowering of those shapes not only
+    pads the contraction to 128 but also picks a W-minor layout
+    ({2,3,1,0}) that forces full-tensor relayout copies against every
+    default-layout neighbor — the round-4 HLO/trace join measured that
+    family at ~3.2 ms of the 34.7 ms fully_supervised step. Gate:
+    WSL4MIS_BANDED_SMALLC=0 restores the old 8 <= c bound (the knob is
+    part of the memo key so in-process env flips re-plan)."""
+    c_min = 1 if os.environ.get("WSL4MIS_BANDED_SMALLC", "1") != "0" else 8
+    return _plan_banded(c, o, h, w, c_min)
+
+
+def _cache_clear():  # test hook (kept name-compatible via attribute below)
+    _plan_banded.cache_clear()
+
+
+plan_banded.cache_clear = _cache_clear  # type: ignore[attr-defined]
+
+
+@functools.lru_cache(maxsize=None)
+def _plan_banded(c: int, o: int, h: int, w: int, c_min: int) -> Plan | None:
+    if 128 % c or not (c_min <= c <= 128):
         return None
     j = 128 // c
     bh = None
@@ -135,10 +156,19 @@ def band_weights3(kernel: jnp.ndarray, plan: Plan) -> jnp.ndarray:
     kh, kw, c, o = kernel.shape
     assert kh == 3 and kw == 3
     p, j = plan.p, plan.j
+    # Static 0/1 selection masks S_dxi[p, jj] = (p == jj + dxi): the band
+    # structure as three broadcasts instead of 3*J scatter ops (J can be
+    # 128 for the c=1 stem conv; the loop formulation emitted 3*J HLO
+    # scatters and dominated trace/compile time at small c).
+    pi = jnp.arange(p)[:, None]
+    jj = jnp.arange(j)[None, :]
     out = jnp.zeros((3, p, c, j, o), kernel.dtype)
     for dxi in range(3):
-        for jj in range(j):
-            out = out.at[:, jj + dxi, :, jj, :].set(kernel[:, dxi])
+        mask = (pi == jj + dxi).astype(kernel.dtype)  # (p, j)
+        out = out + (
+            mask[None, :, None, :, None]
+            * kernel[:, dxi][:, None, :, None, :]
+        )
     return out.reshape(3 * p * c, j * o)
 
 
@@ -146,9 +176,13 @@ def unband_grad(dwb: jnp.ndarray, plan: Plan) -> jnp.ndarray:
     """(3*P*C, J*O) banded-weight cotangent -> (3, 3, C, O) kernel grad."""
     p, j, c, o = plan.p, plan.j, plan.c, plan.o
     r = dwb.reshape(3, p, c, j, o)
+    pi = jnp.arange(p)[:, None]
+    jj = jnp.arange(j)[None, :]
     taps = []
     for dxi in range(3):
-        taps.append(sum(r[:, jj + dxi, :, jj, :] for jj in range(j)))
+        mask = (pi == jj + dxi).astype(dwb.dtype)  # (p, j)
+        # sum_j r[:, j+dxi, :, j, :] as a masked contraction over (p, j)
+        taps.append(jnp.einsum("dpcjo,pj->dco", r, mask))
     return jnp.stack(taps, axis=1)  # (3, 3, C, O)
 
 
@@ -333,9 +367,9 @@ def _fwd_call_padded(xf, wb, btile, plan: Plan, interpret: bool):
     return y[:, :, : plan.w, :]
 
 
-def _fwd_stats_call_padded(xf, wb, btile, plan: Plan, interpret: bool):
-    """Like _fwd_call_padded but the kernel also accumulates per-lane
-    channel moments; returns (y, s1, s2) with s1/s2 shaped (O,) f32."""
+def _fwd_stats_call_raw(xf, wb, btile, plan: Plan, interpret: bool):
+    """Forward+moments, returning the RAW grouped (N, H, G, Nhat) output
+    (no unpack) plus (O,) f32 moments."""
     n, h = xf.shape[0], xf.shape[1] - plan.bh
     nhat = _ceil128(plan.j * plan.o)
     grid = (n, h // plan.bh)
@@ -359,12 +393,52 @@ def _fwd_stats_call_padded(xf, wb, btile, plan: Plan, interpret: bool):
         ],
         interpret=interpret,
     )(xf, xf, wb, btile)
-    y = out4[..., : plan.j * plan.o].reshape(
-        n, h, plan.g * plan.j, plan.o
-    )[:, :, : plan.w, :]
     # (Nhat,) lanes -> (J, O) -> (O,): trivial XLA-side fold
     moments = st[:, : plan.j * plan.o].reshape(2, plan.j, plan.o).sum(1)
-    return y, moments[0], moments[1]
+    return out4, moments[0], moments[1]
+
+
+def _unpack4(out4, plan: Plan):
+    """Grouped (N, H, G, Nhat) kernel output -> 4D (N, H, W, O)."""
+    n, h = out4.shape[0], out4.shape[1]
+    y = out4[..., : plan.j * plan.o].reshape(
+        n, h, plan.g * plan.j, plan.o
+    )
+    return y[:, :, : plan.w, :]
+
+
+def _fwd_stats_call_padded(xf, wb, btile, plan: Plan, interpret: bool):
+    """Like _fwd_call_padded but the kernel also accumulates per-lane
+    channel moments; returns (y, s1, s2) with s1/s2 shaped (O,) f32."""
+    out4, s1, s2 = _fwd_stats_call_raw(xf, wb, btile, plan, interpret)
+    return _unpack4(out4, plan), s1, s2
+
+
+def dense_chainable(plan: Plan | None) -> bool:
+    """True when the kernel's grouped (N, H, G, Nhat) output is BYTE-
+    IDENTICAL to the row-major 4D (N, H, W, O) tensor: no lane padding
+    (J*O a multiple of 128) and no right-edge pixel padding (G*J == W).
+    Such outputs can chain straight into the next banded conv without the
+    unpack-slice / re-pad / XLA-layout round trip (round-4 trace: those
+    seams — H-minor fusion relayouts + pad copies — cost more than the
+    pool itself)."""
+    return (
+        plan is not None
+        and (plan.j * plan.o) % 128 == 0
+        and plan.g * plan.j == plan.w
+    )
+
+
+def _pad_flat_grouped(xg: jnp.ndarray, plan: Plan) -> jnp.ndarray:
+    """Grouped dense (N, H, G0, N0) view (== row-major (N, H, W, C)) ->
+    the consumer's _pad_flat layout, via one dense-lane pad (no 4D
+    detour, so XLA cannot interpose a W-/H-minor layout island)."""
+    n, h, g0, n0 = xg.shape
+    flat = xg.reshape(n, h, g0 * n0)
+    return jnp.pad(
+        flat,
+        ((0, 0), (1, plan.bh - 1), (plan.c, plan.l - plan.c - g0 * n0)),
+    )
 
 
 def _group_cotangent(g_arr, plan: Plan):
@@ -403,6 +477,33 @@ def _wgrad_call(xf, g, plan: Plan, interpret: bool):
         ),
         interpret=interpret,
     )(xf, xf, gf)
+    return dwb[:, : plan.j * plan.o]
+
+
+def _wgrad_call_grouped(xf, gg, plan: Plan, interpret: bool):
+    """_wgrad_call for a cotangent that ALREADY lives in the grouped
+    (N, H, G, Nhat) layout (flat-chained blocks): skips _group_cotangent's
+    pad+reshape entirely."""
+    n, h = xf.shape[0], xf.shape[1] - plan.bh
+    nhat = _ceil128(plan.j * plan.o)
+    grid = (n, h // plan.bh)
+    dwb = pl.pallas_call(
+        functools.partial(_wgrad_kernel, plan=plan),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, plan.bh, plan.l), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, plan.bh, plan.l), lambda i, j: (i, j + 1, 0)),
+            pl.BlockSpec((1, plan.bh, plan.g, nhat),
+                         lambda i, j: (i, j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (3 * plan.p * plan.c, nhat), lambda i, j: (0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (3 * plan.p * plan.c, nhat), jnp.float32
+        ),
+        interpret=interpret,
+    )(xf, xf, gg)
     return dwb[:, : plan.j * plan.o]
 
 
@@ -501,6 +602,134 @@ def _banded_conv_stats_bwd(interpret, res, cts):
 
 
 _banded_conv_stats.defvjp(_banded_conv_stats_fwd, _banded_conv_stats_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Flat-chained variants (round 4). Producer emits the RAW grouped
+# (N, H, G, Nhat) tensor — byte-identical to 4D when dense_chainable —
+# so BN apply / LeakyReLU / dropout run on dense 128-lane rows and the
+# consumer conv re-pads with ONE lane pad instead of the 4D unpack-slice
+# + re-pad + XLA H-/W-minor layout round trip.
+# ---------------------------------------------------------------------------
+
+
+def _tile_lane(v, plan: Plan):
+    """(O,) f32 -> (Nhat,) per-lane vector (tiled over J; zero lane pad)."""
+    t = jnp.tile(v, plan.j)
+    return _pad_n(t[None], plan)[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _banded_conv_stats_gout(interpret: bool, w: int, x, kernel, bias):
+    plan = plan_banded(x.shape[3], kernel.shape[3], x.shape[1], w)
+    wb = _pad_n(band_weights3(kernel, plan), plan)
+    btile = _pad_n(jnp.tile(bias, plan.j)[None], plan)
+    return _fwd_stats_call_raw(_pad_flat(x, plan), wb, btile, plan, interpret)
+
+
+def _banded_conv_stats_gout_fwd(interpret, w, x, kernel, bias):
+    plan = plan_banded(x.shape[3], kernel.shape[3], x.shape[1], w)
+    wb = _pad_n(band_weights3(kernel, plan), plan)
+    btile = _pad_n(jnp.tile(bias, plan.j)[None], plan)
+    xf = _pad_flat(x, plan)
+    yg, s1, s2 = _fwd_stats_call_raw(xf, wb, btile, plan, interpret)
+    return (yg, s1, s2), (xf, kernel, yg)
+
+
+def _banded_conv_stats_gout_bwd(interpret, w, res, cts):
+    xf, kernel, yg = res
+    gyg, gs1, gs2 = cts
+    c, o = kernel.shape[2], kernel.shape[3]
+    h = yg.shape[1]
+    plan = plan_banded(c, o, h, w)
+    g32 = gyg.astype(jnp.float32)
+    g32 = g32 + _tile_lane(gs1, plan)
+    g32 = g32 + 2.0 * yg.astype(jnp.float32) * _tile_lane(gs2, plan)
+    gg = g32.astype(xf.dtype)
+    # dgrad via the 4D path (the block INPUT x is 4D in chain v1)
+    g4 = _unpack4(gg, plan)
+    krot = _rot_kernel(kernel).astype(g4.dtype)
+    rplan = plan_banded(o, c, h, w)
+    if rplan is not None:
+        wbr = _pad_n(band_weights3(krot, rplan), rplan)
+        zb = jnp.zeros((1, _ceil128(rplan.j * rplan.o)), krot.dtype)
+        dx = _fwd_call(g4, wbr, zb, rplan, interpret)
+    else:
+        dx = _direct_conv(g4, krot)
+    dwb = _wgrad_call_grouped(xf, gg, plan, interpret)
+    dk = unband_grad(dwb, plan).astype(kernel.dtype)
+    db = jnp.sum(g4.astype(jnp.float32), axis=(0, 1, 2)).astype(g4.dtype)
+    return dx.astype(xf.dtype), dk, db
+
+
+_banded_conv_stats_gout.defvjp(
+    _banded_conv_stats_gout_fwd, _banded_conv_stats_gout_bwd
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _banded_conv_stats_gin(interpret: bool, w: int, g0n0, xg, kernel, bias):
+    plan = plan_banded(kernel.shape[2], kernel.shape[3], xg.shape[1], w)
+    wb = _pad_n(band_weights3(kernel, plan), plan)
+    btile = _pad_n(jnp.tile(bias, plan.j)[None], plan)
+    return _fwd_stats_call_padded(
+        _pad_flat_grouped(xg, plan), wb, btile, plan, interpret
+    )
+
+
+def _banded_conv_stats_gin_fwd(interpret, w, g0n0, xg, kernel, bias):
+    plan = plan_banded(kernel.shape[2], kernel.shape[3], xg.shape[1], w)
+    wb = _pad_n(band_weights3(kernel, plan), plan)
+    btile = _pad_n(jnp.tile(bias, plan.j)[None], plan)
+    xf = _pad_flat_grouped(xg, plan)
+    y, s1, s2 = _fwd_stats_call_padded(xf, wb, btile, plan, interpret)
+    return (y, s1, s2), (xf, kernel, y)
+
+
+def _banded_conv_stats_gin_bwd(interpret, w, g0n0, res, cts):
+    xf, kernel, y = res
+    gy, gs1, gs2 = cts
+    g32 = gy.astype(jnp.float32)
+    g32 = g32 + gs1[None, None, None, :]
+    g32 = g32 + 2.0 * y.astype(jnp.float32) * gs2[None, None, None, :]
+    dx, dk, db = _conv_bwd_core(interpret, xf, kernel, g32.astype(gy.dtype))
+    # the producer was dense_chainable, so the 4D cotangent's row-major
+    # bytes ARE the grouped cotangent
+    return dx.reshape(dx.shape[0], dx.shape[1], *g0n0), dk, db
+
+
+_banded_conv_stats_gin.defvjp(
+    _banded_conv_stats_gin_fwd, _banded_conv_stats_gin_bwd
+)
+
+
+def banded_conv3x3_pallas_stats_grouped_out(x, kernel, bias=None, *,
+                                            interpret: bool = False):
+    """Conv + moments emitting the RAW grouped (N, H, G, Nhat) output for
+    flat chaining. Requires dense_chainable(plan). The grouped tensor is
+    byte-identical to the 4D (N, H, W, O) output (tested), so elementwise
+    consumers may treat lane l of group g as (w, o) = (g*J + l//O, l%O)."""
+    w = x.shape[2]
+    plan = plan_banded(x.shape[3], kernel.shape[3], x.shape[1], w)
+    assert dense_chainable(plan), (x.shape, kernel.shape)
+    if bias is None:
+        bias = jnp.zeros((kernel.shape[3],), x.dtype)
+    return _banded_conv_stats_gout(
+        interpret, w, x, kernel, bias.astype(x.dtype)
+    )
+
+
+def banded_conv3x3_pallas_stats_grouped_in(xg, w, kernel, bias=None, *,
+                                           interpret: bool = False):
+    """Conv + moments consuming a grouped dense (N, H, G0, N0) input
+    (the previous conv's grouped output after elementwise BN/act/dropout);
+    w is the logical pixel width (G0*N0 == w * C). Returns the standard
+    4D (y, s1, s2)."""
+    if bias is None:
+        bias = jnp.zeros((kernel.shape[3],), xg.dtype)
+    return _banded_conv_stats_gin(
+        interpret, w, tuple(xg.shape[2:]), xg, kernel, bias.astype(xg.dtype)
+    )
 
 
 def banded_conv3x3_pallas(x, kernel, bias=None, *, interpret: bool = False):
