@@ -37,6 +37,8 @@ SHAPES = [
     (1, 16, 8, 256),    # stem conv (small-c admission, round 4)
     (4, 16, 8, 256),    # 4-class head's dgrad shape family
     (4, 4, 8, 300),     # small-c + W % J != 0
+    (128, 64, 8, 16),   # M=2 dense plan (round 4)
+    (32, 16, 8, 250),   # M=2 dense + W % J != 0 right-pad path
 ]
 
 
@@ -101,8 +103,10 @@ def test_plan_rejects_losing_and_odd_shapes():
     assert plan_banded(3, 16, 64, 64) is None
     # H that does not block -> rejected
     assert plan_banded(16, 16, 63, 64) is None
-    # (128, 64): the J*C==128 plan only ties the direct lowering -> None
-    assert plan_banded(128, 64, 16, 16) is None
+    # (128, 64): the M=1 (J*C==128) plan only ties the direct lowering,
+    # but the round-4 dense M=2 plan amortizes the halo and wins
+    p = plan_banded(128, 64, 16, 16)
+    assert p is not None and p.m == 2 and p.j * p.o == 128
     # the workhorse shapes must be eligible with near-dense tiles
     p = plan_banded(16, 16, 256, 256)
     assert p is not None and p.j == 8 and p.cost_per_pixel <= 17000

@@ -64,6 +64,7 @@ def _run(x, feats, dropout_p, chain, monkeypatch, dtype=jnp.float32):
     (1, 16, 16, 256, 0.05),    # the stem (c=1 small-c admission)
     (16, 32, 16, 128, 0.1),    # encoder block2
     (32, 64, 16, 64, 0.2),     # encoder block3
+    (32, 16, 16, 256, 0.0),    # decoder UpBlock block (M=2 dense plan)
 ])
 def test_chain_bit_parity(c, feats, h, w, p, pallas_impl, monkeypatch):
     assert dense_chainable(plan_banded(c, feats, h, w))

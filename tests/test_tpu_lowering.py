@@ -72,6 +72,60 @@ def _smokes():
 
         _compile(jax.value_and_grad(f, argnums=(0, 1, 2)), x, k, b)
 
+    def conv_smallc():
+        # c=1 stem admission (round 4): J=128 window, nfull=1 + 2-lane rem
+        x = jax.random.normal(key, (2, 256, 256, 1), jnp.bfloat16)
+        k = jax.random.normal(key, (3, 3, 1, 16), jnp.bfloat16)
+        b = jnp.zeros((16,), jnp.bfloat16)
+        assert eligible(x.shape, k.shape)
+
+        def f(x, k, b):
+            return jnp.sum(
+                banded_conv3x3_pallas(x, k, b).astype(jnp.float32)
+            )
+
+        _compile(jax.value_and_grad(f, argnums=(0, 1, 2)), x, k, b)
+
+    def conv_mdense():
+        # M=2 dense plan (round 4): 4D (rows, K/M, M, 128) block view +
+        # fixed-parity piece slices in fwd AND wgrad
+        from wsl4mis_tpu.ops.pallas.banded_conv_pallas import plan_banded
+
+        x = jax.random.normal(key, (2, 256, 256, 32), jnp.bfloat16)
+        k = jax.random.normal(key, (3, 3, 32, 16), jnp.bfloat16)
+        b = jnp.zeros((16,), jnp.bfloat16)
+        p = plan_banded(32, 16, 256, 256)
+        assert p is not None and p.m == 2, p
+
+        def f(x, k, b):
+            return jnp.sum(
+                banded_conv3x3_pallas(x, k, b).astype(jnp.float32)
+            )
+
+        _compile(jax.value_and_grad(f, argnums=(0, 1, 2)), x, k, b)
+
+    def conv_chain():
+        # flat-chained pair: grouped-out conv -> elementwise -> grouped-in
+        from wsl4mis_tpu.ops.pallas.banded_conv_pallas import (
+            banded_conv3x3_pallas_stats_grouped_in,
+            banded_conv3x3_pallas_stats_grouped_out,
+        )
+
+        x = jax.random.normal(key, (2, 256, 256, 16), jnp.bfloat16)
+        k1 = jax.random.normal(key, (3, 3, 16, 16), jnp.bfloat16)
+        k2 = jax.random.normal(key, (3, 3, 16, 16), jnp.bfloat16)
+
+        def f(x, k1, k2):
+            yg, s1, s2 = banded_conv3x3_pallas_stats_grouped_out(x, k1)
+            mul = jnp.tile(s1 - s2, 8).astype(yg.dtype)  # per-lane affine
+            y = jax.nn.leaky_relu(yg * mul)
+            y4, t1, t2 = banded_conv3x3_pallas_stats_grouped_in(
+                y, x.shape[2], k2
+            )
+            return jnp.sum(y4.astype(jnp.float32)) + jnp.sum(t1) + jnp.sum(t2)
+
+        _compile(jax.value_and_grad(f, argnums=(0, 1, 2)), x, k1, k2)
+
     def crf():
         p = jax.nn.softmax(jax.random.normal(key, (2, 64, 64, 4)), axis=-1)
         img = jax.random.normal(key, (2, 64, 64, 1))
@@ -88,6 +142,9 @@ def _smokes():
 
     yield "maxpool", pool
     yield "banded_conv", conv
+    yield "banded_conv_smallc", conv_smallc
+    yield "banded_conv_mdense", conv_mdense
+    yield "banded_conv_chain", conv_chain
     yield "gated_crf", crf
     yield "augment", aug
 

@@ -66,13 +66,14 @@ class Plan:
     o: int          # output channels
     h: int
     w: int
-    j: int          # output pixels per group (J*C == 128)
+    j: int          # output pixels per group (J*C == 128*M)
     p: int          # input pixels per group (= j + 2)
     bh: int         # output rows per grid cell
     g: int          # groups per row
     nfull: int      # whole 128-lane blocks per window
     rem: int        # tail lanes per window (= 2C when < 128, else 0)
-    l: int          # padded flat row length in lanes (= 128*(g + nfull))
+    l: int          # padded flat row length in lanes (= 128*K, K % M == 0)
+    m: int = 1      # 128-lane blocks per group (window stride in blocks)
 
     @property
     def cost_per_pixel(self) -> float:
@@ -111,11 +112,9 @@ def _cache_clear():  # test hook (kept name-compatible via attribute below)
 plan_banded.cache_clear = _cache_clear  # type: ignore[attr-defined]
 
 
-@functools.lru_cache(maxsize=None)
-def _plan_banded(c: int, o: int, h: int, w: int, c_min: int) -> Plan | None:
-    if 128 % c or not (c_min <= c <= 128):
-        return None
-    j = 128 // c
+def _plan_for_m(c: int, o: int, h: int, w: int, m: int) -> Plan | None:
+    """Plan candidate with M 128-lane blocks per group (J = 128*M/C)."""
+    j = 128 * m // c
     bh = None
     for cand in (32, 16, 8, 4, 2):
         if h % cand == 0:
@@ -127,10 +126,15 @@ def _plan_banded(c: int, o: int, h: int, w: int, c_min: int) -> Plan | None:
     g = -(-w // j)
     if g < 2:
         return None
-    window = p * c  # = 128 + 2c
+    window = p * c  # = 128*M + 2C
     nfull, rem = window // 128, window % 128
-    l = 128 * (g + nfull)  # max dim1 index used is g + nfull - 1
-    plan = Plan(c, o, h, w, j, p, bh, g, nfull, rem, l)
+    # max block index used: full pieces (nfull-1) + M*(g-1); the rem tail
+    # sits at block nfull + M*(g-1). K rounds up to a multiple of M so the
+    # in-kernel (rows, K/M, M, 128) reshape is exact.
+    blocks = m * (g - 1) + nfull + (1 if rem else 0)
+    k = m * (-(-blocks // m))
+    l = 128 * k
+    plan = Plan(c, o, h, w, j, p, bh, g, nfull, rem, l, m)
     # VMEM guard: double-buffered row blocks + accumulator + weights
     vmem = (
         2 * 2 * (bh + 2) * l * 2
@@ -142,6 +146,41 @@ def _plan_banded(c: int, o: int, h: int, w: int, c_min: int) -> Plan | None:
     if plan.cost_per_pixel > 0.85 * _direct_cost_per_pixel(c, o):
         return None
     return plan
+
+
+def _gcd(a, b):
+    while b:
+        a, b = b, a % b
+    return a
+
+
+@functools.lru_cache(maxsize=None)
+def _plan_banded(c: int, o: int, h: int, w: int, c_min: int) -> Plan | None:
+    if 128 % c or not (c_min <= c <= 128):
+        return None
+    base = _plan_for_m(c, o, h, w, 1)
+    # Dense-output group width (round 4): M = C/gcd(C, O) makes J*O a
+    # multiple of 128, so the grouped output has NO lane padding and is
+    # byte-identical to the row-major 4D tensor (dense_chainable) — the
+    # decoder's O < C convs then flat-chain too, and by the cost model a
+    # wider window amortizes the halo (e.g. 32->16: 40960 -> 32768
+    # padded-flops/pixel). WSL4MIS_BANDED_DENSE=0 keeps M = 1.
+    if os.environ.get("WSL4MIS_BANDED_DENSE", "1") == "0":
+        return base
+    m = c // _gcd(c, o)
+    if m == 1:
+        return base
+    dense = _plan_for_m(c, o, h, w, m)
+    if dense is None:
+        return base
+    if base is not None and dense.cost_per_pixel > base.cost_per_pixel:
+        # wider window costs more compute than M=1: only worth it when it
+        # unlocks dense chaining
+        if not ((dense.j * dense.o) % 128 == 0 and dense.g * dense.j == w):
+            return base
+        if dense.cost_per_pixel > 1.3 * base.cost_per_pixel:
+            return base
+    return dense
 
 
 def band_weights3(kernel: jnp.ndarray, plan: Plan) -> jnp.ndarray:
@@ -190,16 +229,36 @@ def _merge_tails() -> bool:
     return os.environ.get("WSL4MIS_BANDED_TAILS", "merged") != "split"
 
 
-def _window_pieces(b5, plan: Plan):
-    """Yield (dy, a_block, wb_row_offset, k_width) pieces of the banded
+def _blocked(rows, plan: Plan):
+    """(rows, L) -> blocked view for piece slicing: (rows, K, 128) when
+    M == 1, (rows, K/M, M, 128) when M > 1 (block f + M*g of window piece
+    f lives at [.., f//M + g, f%M, :] — fixed parity per piece, so every
+    slice is unit-stride)."""
+    r = rows.shape[0]
+    if plan.m == 1:
+        return rows.reshape(r, plan.l // 128, 128)
+    return rows.reshape(r, plan.l // (128 * plan.m), plan.m, 128)
+
+
+def _piece(b, plan: Plan, dy: int, f: int, width: int):
+    """Window piece f (block granularity; f == plan.nfull is the rem
+    tail): the (BH, G, width<=128) activation slab for row offset dy."""
+    bh, g = plan.bh, plan.g
+    if plan.m == 1:
+        return b[dy:dy + bh, f:f + g, :width]
+    q, r = divmod(f, plan.m)
+    return b[dy:dy + bh, q:q + g, r, :width]
+
+
+def _window_pieces(b, plan: Plan):
+    """Yield (a_block, wb_row_offset, k_width) pieces of the banded
     activation: per dy, nfull unit-stride 128-lane blocks and (handled by
     the caller) the rem-lane tail."""
-    bh = plan.bh
     for dy in range(3):
         base = dy * plan.p * plan.c
         for f in range(plan.nfull):
             yield (
-                b5[dy:dy + bh, f:f + plan.g, :],
+                _piece(b, plan, dy, f, 128),
                 base + f * 128,
                 128,
             )
@@ -209,7 +268,7 @@ def _acc_conv(x0_ref, x1_ref, w_ref, plan: Plan):
     """Shared fwd contraction: (BH, G, Nhat) f32 accumulator."""
     bh, g = plan.bh, plan.g
     rows = jnp.concatenate([x0_ref[0], x1_ref[0][:2]], axis=0)
-    b5 = rows.reshape(bh + 2, plan.l // 128, 128)
+    b5 = _blocked(rows, plan)
     n = _ceil128(plan.j * plan.o)
     acc = jnp.zeros((bh, g, n), jnp.float32)
     for a, row0, width in _window_pieces(b5, plan):
@@ -220,7 +279,7 @@ def _acc_conv(x0_ref, x1_ref, w_ref, plan: Plan):
         )
     if plan.rem:
         tails = [
-            b5[dy:dy + bh, plan.nfull:plan.nfull + g, :plan.rem]
+            _piece(b5, plan, dy, plan.nfull, plan.rem)
             for dy in range(3)
         ]
         wt = [
@@ -299,7 +358,7 @@ def _wgrad_kernel(x0_ref, x1_ref, g_ref, acc_ref, *, plan: Plan):
 
     bh, g, n = plan.bh, plan.g, _ceil128(plan.j * plan.o)
     rows = jnp.concatenate([x0_ref[0], x1_ref[0][:2]], axis=0)
-    b5 = rows.reshape(bh + 2, plan.l // 128, 128)
+    b5 = _blocked(rows, plan)
     # cotangent arrives pre-grouped and lane-padded (BH, G, Nhat) from the
     # wrapper (the in-kernel lane split (BH, G*n)->(BH*G, n) is the same
     # unsupported cast class as the fwd flatten); collapsing the leading
@@ -314,7 +373,7 @@ def _wgrad_kernel(x0_ref, x1_ref, g_ref, acc_ref, *, plan: Plan):
         acc_ref[row0:row0 + width, :] += part
     if plan.rem:
         for dy in range(3):
-            t = b5[dy:dy + bh, plan.nfull:plan.nfull + g, :plan.rem]
+            t = _piece(b5, plan, dy, plan.nfull, plan.rem)
             part = jax.lax.dot_general(
                 t.reshape(bh * g, plan.rem), gg,
                 (((0,), (0,)), ((), ())),
