@@ -191,12 +191,24 @@ def main():
     )
     state = fused(state, stacked, rng, bundle.aux)
     fence(state)
+    # N repeats -> median/min/max (VERDICT r4 item 7: single-run rows had
+    # unexplained 13% swings between same-config runs; the spread column
+    # attributes them — a tight spread within a process with a wide gap
+    # across runs points at tunnel/compile-cache weather, not the program).
     reps = max(1, STEPS // SCAN_K)
+    n_repeat = int(os.environ.get("BENCH_REPEATS", "3"))
+    samples = []
+    for _ in range(n_repeat):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state = fused(state, stacked, rng, bundle.aux)
+        fence(state)
+        samples.append((time.perf_counter() - t0) / (reps * SCAN_K))
+    # fence residual: the cost of the fence itself when nothing is pending
     t0 = time.perf_counter()
-    for _ in range(reps):
-        state = fused(state, stacked, rng, bundle.aux)
     fence(state)
-    device_dt = (time.perf_counter() - t0) / (reps * SCAN_K)
+    fence_residual = time.perf_counter() - t0
+    device_dt = float(np.median(samples))
 
     # Headline = the K-step-fused path: that is how production training runs
     # (cfg.steps_per_call; Trainer scans K updates per device call), and it
@@ -228,6 +240,10 @@ def main():
                 "scan_k": SCAN_K,
                 "dispatch_ms_per_step": round(dispatch_dt * 1e3, 3),
                 "device_ms_per_step": round(device_dt * 1e3, 3),
+                "device_ms_min": round(min(samples) * 1e3, 3),
+                "device_ms_max": round(max(samples) * 1e3, 3),
+                "device_ms_samples": [round(s * 1e3, 3) for s in samples],
+                "fence_residual_ms": round(fence_residual * 1e3, 3),
                 "dispatch_slices_per_sec": round(batch_size / dispatch_dt, 1),
                 "flops_per_step": flops,
                 "mfu": round(mfu, 4) if mfu is not None else None,

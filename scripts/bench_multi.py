@@ -81,8 +81,10 @@ KNOB_KEYS = (
 
 
 def run_config(tag, method, batch, env):
-    saved = {k: os.environ.get(k) for k in KNOB_KEYS}
-    for k in KNOB_KEYS:
+    # snapshot the known knobs AND any per-config key outside them, so a
+    # future config's extra env cannot leak into later configs in-process
+    saved = {k: os.environ.get(k) for k in (*KNOB_KEYS, *env)}
+    for k in saved:
         os.environ.pop(k, None)
     os.environ.update(env)
     os.environ["BENCH_BATCH"] = str(batch)

@@ -125,17 +125,19 @@ class VolumePredictor:
         Predictions travel back as int8 (classes < 128) to quarter the
         download. A val set is immutable across a training run, so the
         zoomed/padded/chunked device arrays are cached after the first
-        call (keyed on the identity of the first volume) — later vals
-        upload nothing. Per-volume results are bit-identical to
-        predict_volume (same program on the same padded slices; tested in
+        call — keyed on the identities of ALL volumes (the cache keeps
+        strong refs to the volume list, so no id can be recycled for a
+        different array) — and later vals upload nothing. The cached
+        chunks occupy device HBM for the lifetime of the predictor
+        (fold1 val set ≈ 90 MB at 256², f32), alongside the train step.
+        Per-volume results are bit-identical to predict_volume (same
+        program on the same padded slices; tested in
         tests/test_val2d_batched.py).
         """
         chunk = max(self.bucket, 64)
         cached = getattr(self, "_vol_cache", None)
-        # identity check holds a strong ref to the first volume, so its
-        # id cannot be recycled for a different array (fold sweeps)
-        if (cached is not None and len(images)
-                and cached[0] is images[0] and cached[1] == len(images)):
+        key = tuple(id(im) for im in images)
+        if cached is not None and cached[0] == key:
             _, _, chunks, depths, shapes = cached
         else:
             zoomed, depths, shapes = [], [], []
@@ -162,7 +164,9 @@ class VolumePredictor:
                 jax.device_put(jnp.asarray(big[i:i + chunk][..., None]))
                 for i in range(0, big.shape[0], chunk)
             ]
-            self._vol_cache = (images[0], len(images), chunks, depths, shapes)
+            # hold the volume list itself: keeps every id() live so the
+            # key tuple cannot alias a later, different val set
+            self._vol_cache = (key, list(images), chunks, depths, shapes)
         parts = [
             np.asarray(jax.device_get(self._fwd_i8(variables, x)))
             for x in chunks

@@ -351,6 +351,14 @@ class ConvBlock(nn.Module):
         # dmpls neutral (model/r4_bench_chain.json); bit-parity tested
         if os.environ.get("WSL4MIS_CONV_CHAIN", "flat") != "flat":
             return False
+        # Knob precedence: a flat chain structurally uses FusedBatchNorm
+        # with conv-epilogue moments (the whole point is no standalone
+        # stats pass over the grouped lanes), so it is only taken when the
+        # BN impl knob is at its fused default — WSL4MIS_BN_IMPL=flax
+        # A/B runs fall back to the 4D path and measure what they claim.
+        # WSL4MIS_BN_STATS only affects the unchained path.
+        if os.environ.get("WSL4MIS_BN_IMPL", "fused") != "fused":
+            return False
         impl = os.environ.get("WSL4MIS_CONV_IMPL")
         if impl is None:
             impl = "pallas" if _on_tpu() else "direct"

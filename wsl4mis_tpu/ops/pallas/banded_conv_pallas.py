@@ -98,11 +98,13 @@ def plan_banded(c: int, o: int, h: int, w: int) -> Plan | None:
     pads the contraction to 128 but also picks a W-minor layout
     ({2,3,1,0}) that forces full-tensor relayout copies against every
     default-layout neighbor — the round-4 HLO/trace join measured that
-    family at ~3.2 ms of the 34.7 ms fully_supervised step. Gate:
-    WSL4MIS_BANDED_SMALLC=0 restores the old 8 <= c bound (the knob is
-    part of the memo key so in-process env flips re-plan)."""
+    family at ~3.2 ms of the 34.7 ms fully_supervised step. Gates:
+    WSL4MIS_BANDED_SMALLC=0 restores the old 8 <= c bound and
+    WSL4MIS_BANDED_DENSE=0 keeps M = 1; both knobs are part of the memo
+    key so in-process env flips re-plan."""
     c_min = 1 if os.environ.get("WSL4MIS_BANDED_SMALLC", "1") != "0" else 8
-    return _plan_banded(c, o, h, w, c_min)
+    dense = os.environ.get("WSL4MIS_BANDED_DENSE", "1") != "0"
+    return _plan_banded(c, o, h, w, c_min, dense)
 
 
 def _cache_clear():  # test hook (kept name-compatible via attribute below)
@@ -155,7 +157,8 @@ def _gcd(a, b):
 
 
 @functools.lru_cache(maxsize=None)
-def _plan_banded(c: int, o: int, h: int, w: int, c_min: int) -> Plan | None:
+def _plan_banded(c: int, o: int, h: int, w: int, c_min: int,
+                 dense_ok: bool = True) -> Plan | None:
     if 128 % c or not (c_min <= c <= 128):
         return None
     base = _plan_for_m(c, o, h, w, 1)
@@ -164,8 +167,9 @@ def _plan_banded(c: int, o: int, h: int, w: int, c_min: int) -> Plan | None:
     # byte-identical to the row-major 4D tensor (dense_chainable) — the
     # decoder's O < C convs then flat-chain too, and by the cost model a
     # wider window amortizes the halo (e.g. 32->16: 40960 -> 32768
-    # padded-flops/pixel). WSL4MIS_BANDED_DENSE=0 keeps M = 1.
-    if os.environ.get("WSL4MIS_BANDED_DENSE", "1") == "0":
+    # padded-flops/pixel). WSL4MIS_BANDED_DENSE=0 keeps M = 1 (threaded
+    # here as a memoized argument so in-process knob flips re-plan).
+    if not dense_ok:
         return base
     m = c // _gcd(c, o)
     if m == 1:
