@@ -1,0 +1,141 @@
+#!/bin/bash
+# Round-5 TPU chain — regenerates the quality artifacts lost in the
+# between-rounds VM reset and runs the VERDICT r4 mandate in judge
+# priority order:
+#   1. ScribbleVC 200ep (light_val) + held-out test  -> also the oracle's
+#      trained-checkpoint input (VERDICT item 1; fired host-side when
+#      latest_full.ckpt appears)
+#   2. aug-parity A/B, BOTH arms, 10k, same seeds (item 2 first half)
+#   3. pCE fold1 full 60k + offline test (item 2 second half: does pCE
+#      degenerate at the reference schedule?)
+#   4. S2L + USTM fold1 at the documented schedule + offline tests
+#      (item 9)
+#   5. 15-cell matrix: pce/dmpls/pce_gatedcrf x fold1-5 at the documented
+#      reduced 15k schedule (item 5)
+#   6. deadline-gated tail: bench zoo with variance bars + fresh trace
+#
+# Stages are stale-watched and resume-retried (the round-3/4 tunnel-hang
+# failure class); every stage is deadline-gated so the tail yields to the
+# driver's end-of-round bench.
+set -x
+cd /root/repo
+mkdir -p model
+START=$(date +%s)
+DEADLINE=${CHAIN_DEADLINE:-$((START + 30600))}
+left() { echo $(( DEADLINE - $(date +%s) )); }
+
+# run_watch <logfile> <timeout_s> <stale_s> <resume_flag|-> <cmd...>
+run_watch() {
+  local log=$1 tmo=$2 stale=$3 resume=$4; shift 4
+  local rc=1
+  for attempt in 1 2 3; do
+    local extra=()
+    if [ "$resume" != "-" ] && [ "$attempt" -gt 1 ]; then
+      extra=("$resume")
+    fi
+    timeout "$tmo" "$@" "${extra[@]}" > "$log.$attempt" 2> "$log.$attempt.err" &
+    local tpid=$!
+    while kill -0 "$tpid" 2>/dev/null; do
+      sleep 60
+      local now m
+      now=$(date +%s)
+      m=$(stat -c %Y "$log.$attempt" 2>/dev/null || echo "$now")
+      if [ $((now - m)) -gt "$stale" ]; then
+        echo "stale ${stale}s on attempt $attempt, killing" >> "$log.err"
+        pkill -P "$tpid"   # timeout's direct child (the python) by PPID
+        sleep 5
+        kill "$tpid" 2>/dev/null
+        break
+      fi
+    done
+    wait "$tpid"; rc=$?
+    cat "$log.$attempt" >> "$log" 2>/dev/null
+    cat "$log.$attempt.err" >> "$log.err" 2>/dev/null
+    if [ "$rc" -eq 0 ]; then
+      return 0
+    fi
+    sleep 60
+  done
+  return "$rc"
+}
+
+# ---- 1. ScribbleVC 200ep (r4 artifact regen + oracle input) -----------
+if [ "$(left)" -gt 9000 ]; then
+  # scribblevc's --resume is int-typed: pass =1 (run_watch appends one arg)
+  run_watch model/r5_scribblevc_run.log 7800 600 --resume=1 python \
+    scripts/train_ACDC_scribblevc.py --steps_per_call 5 \
+    --val_every_epoches 2 --light_val 1 --ckpt_epoches 25
+fi
+if [ -f model/ACDC_ScribbleVC_MAAGfold/scribble/scribblevc_best_model.pth ]; then
+  run_watch model/r5_scribblevc_test.log 1800 600 - python \
+    scripts/test_ACDC_scribblevc.py
+fi
+
+# ---- 2. aug-parity A/B (pce fold1, 10k iters, same seed, both arms) ---
+if [ "$(left)" -gt 20000 ]; then
+  run_watch model/r5_augab_device.log 4800 600 --resume \
+    python scripts/train_weakly_supervised_pCE_2D.py --fold fold1 \
+      --max_iterations 10000 --steps_per_call 10 --aug_mode device \
+      --snapshot_root model/r5_augab_device
+fi
+if [ "$(left)" -gt 15000 ]; then
+  H_TMO=$(( $(left) - 12000 )); [ "$H_TMO" -gt 10800 ] && H_TMO=10800
+  run_watch model/r5_augab_host.log "$H_TMO" 1200 --resume \
+    python scripts/train_weakly_supervised_pCE_2D.py --fold fold1 \
+      --max_iterations 10000 --aug_mode host \
+      --snapshot_root model/r5_augab_host
+fi
+
+# ---- 3. pCE fold1 at the FULL 60k reference schedule + offline test ---
+if [ "$(left)" -gt 12000 ]; then
+  run_watch model/r5_pce60k.log 6000 600 --resume \
+    python scripts/train_weakly_supervised_pCE_2D.py --fold fold1 \
+      --max_iterations 60000 --steps_per_call 10 --ckpt_every 3000
+fi
+if [ -f model/ACDC_pCE_fold1/scribble/iter_60000.pth ]; then
+  run_watch model/r5_pce60k_test.log 1800 600 - python \
+    scripts/test_2D_fully.py --exp ACDC_pCE --fold fold1 --no_save
+fi
+
+# ---- 4. S2L + USTM fold1, documented schedules + offline tests --------
+if [ "$(left)" -gt 10000 ]; then
+  run_watch model/r5_s2l.log 6600 600 --resume \
+    python scripts/train_s2l.py --fold fold1 --steps_per_call 10 \
+      --ckpt_every 3000
+fi
+if [ -f "model/ACDC/pCE_scribble2label_fold1/scribble/iter_60000.pth" ]; then
+  run_watch model/r5_s2l_test.log 1800 600 - python \
+    scripts/test_2D_fully.py --exp ACDC/pCE_scribble2label --fold fold1 \
+    --no_save
+fi
+if [ "$(left)" -gt 9000 ]; then
+  run_watch model/r5_ustm.log 7200 600 --resume \
+    python scripts/train_weakly_supervised_ustm_2D.py --fold fold1 \
+      --steps_per_call 10 --ckpt_every 3000
+fi
+if [ -f "model/ACDC/pCE_Seg_USTM_fold1/scribble/iter_60000.pth" ]; then
+  run_watch model/r5_ustm_test.log 1800 600 - python \
+    scripts/test_2D_fully.py --exp ACDC/pCE_Seg_USTM --fold fold1 --no_save
+fi
+
+# ---- 5. 15-cell matrix at the documented reduced 15k schedule ---------
+for m in pce dmpls pce_gatedcrf; do
+  if [ "$(left)" -gt 4500 ]; then
+    run_watch "model/r5_matrix_$m.log" $(( $(left) - 2700 )) 900 - \
+      python scripts/launch_experiments.py --methods "$m" --folds all \
+        --extra "--max_iterations 15000 --steps_per_call 10 --resume \
+          --snapshot_root model/r5_matrix"
+  fi
+done
+
+# ---- 6. tail: bench zoo with variance bars + fresh trace --------------
+if [ "$(left)" -gt 2400 ]; then
+  BENCH_MULTI_OUT=model/r5_bench_multi.json \
+    run_watch model/r5_bench_tail.log 2200 600 - python scripts/bench_multi.py
+fi
+if [ "$(left)" -gt 1200 ]; then
+  TRACE_METHOD=fully_supervised TRACE_DIR=/tmp/trace_r5tail \
+    run_watch model/r5_trace_tail.log 1100 600 - python scripts/capture_trace.py
+fi
+
+echo CHAIN_R5A_DONE

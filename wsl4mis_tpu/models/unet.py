@@ -285,10 +285,17 @@ def _max_pool_2x2(x):
     select-and-scatter saves (RESULTS.md round 3). "fused2" keeps the
     fused forward but reformulates the backward as one broadcast-indexed
     loop fusion (no stack/reshape interleave — ops/maxpool.py v2 notes).
-    All paths bit-parity-tested in tests/test_maxpool.py."""
+    All paths bit-parity-tested in tests/test_maxpool.py.
+
+    "fused3" (round 5, the TPU default): selection-matmul pool — pixel
+    pairs are compacted by MXU dots with static 0/1 matrices instead of
+    lane-granular strided slices, so every op is block-granular and no
+    reduce-window/select-and-scatter remains to batch-minor-poison the
+    neighbouring fusions (the round-5 HLO/trace join billed those copies
+    above the pool ops themselves). Measured fs24 28.1 -> 24.9 ms."""
     impl = os.environ.get("WSL4MIS_POOL_IMPL")
     if impl is None:
-        impl = "direct"
+        impl = "fused3" if _on_tpu() else "direct"
     even = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
     if impl == "pallas" and even:
         # Pallas kernels pin the default layout on BOTH sides of the
@@ -297,6 +304,13 @@ def _max_pool_2x2(x):
         from ..ops.pallas.maxpool_pallas import max_pool_2x2_pallas
 
         return max_pool_2x2_pallas(x, interpret=not _on_tpu())
+    if impl == "fused3":
+        from ..ops.maxpool import _v3_applicable, max_pool_2x2_v3
+
+        if _v3_applicable(x.shape):
+            # selection-matmul pool: block-granular ops only, no
+            # reduce-window/select-and-scatter layout poisoning
+            return max_pool_2x2_v3(x)
     if impl in ("fused", "fused2") and even:
         from ..ops.maxpool import max_pool_2x2, max_pool_2x2_v2
 

@@ -25,6 +25,8 @@ gradient to the first max.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -135,3 +137,136 @@ def _bwd_v2(res, g):
 
 
 max_pool_2x2_v2.defvjp(_fwd_v2, _bwd_v2)
+
+
+# ---------------------------------------------------------------------------
+# v3: selection-matmul pool (WSL4MIS_POOL_IMPL=fused3)
+#
+# v1/v2 still lost on-chip because their strided W-slices / interleaves are
+# LANE-granular (C-lane sub-blocks moving at stride 2C), which the VPU
+# handles with expensive shuffle sequences — the same reason the round-4
+# standalone Pallas pool lost 2.1x. v3 keeps every op BLOCK-granular:
+#
+#   * view a row as (K, 128) lane blocks (free bitcast: W*C % 128 == 0);
+#   * pixel-pair max:   e = b_pairs . SE,  o = b_pairs . SO  with static
+#     0/1 selection matrices (2, 128, 128) — an MXU matmul IS the TPU-
+#     native lane permutation (~6 GFLOP/step total for the UNet, noise
+#     against the conv budget, and dots keep the default layout);
+#   * row-pair max: stride-2 slice on a MAJOR axis (block-granular).
+#
+# No reduce-window / select-and-scatter remains in the graph, so their
+# batch-minor layout preference cannot poison the neighbouring BN/LeakyReLU
+# fusions or the Pallas-call boundaries (the round-5 HLO/trace join billed
+# those copies at more than the pool ops themselves). The backward is the
+# transposed selection dots + first-max where-masks: exact row-major
+# first-max routing (pixel max inside each row first, then row max
+# preferring row 0), identical to select-and-scatter.
+# ---------------------------------------------------------------------------
+
+
+def _v3_applicable(shape) -> bool:
+    n, h, w, c = shape
+    if h % 2 or w % 2:
+        return False
+    if (w * c) % 256:
+        return False
+    if c >= 128:
+        return c % 128 == 0
+    return 128 % c == 0 and (128 // c) % 2 == 0
+
+
+@functools.lru_cache(maxsize=None)
+def _sel_mats(c: int):
+    """(2,128,128) 0/1 matrices routing even/odd pixels of a 128-block
+    pair into one pooled 128-block (exact in bf16: single-term sums)."""
+    import numpy as np
+
+    ppb = 128 // c
+    se = np.zeros((2, 128, 128), np.float32)
+    so = np.zeros((2, 128, 128), np.float32)
+    for t in range(2):
+        for p in range(ppb):
+            dst = ((t * ppb + p) // 2) * c
+            m = se if p % 2 == 0 else so
+            for ci in range(c):
+                m[t, p * c + ci, dst + ci] = 1.0
+    return se, so
+
+
+def _v3_pixel_pairs(x):
+    """(N,H,W,C) -> (e, o): even/odd-pixel C-blocks regrouped to pooled
+    128-lane blocks, each (N, H, K2, 128)."""
+    n, h, w, c = x.shape
+    k = (w * c) // 128
+    b = x.reshape(n, h, k, 128)
+    if c >= 128:
+        cb = c // 128  # blocks per pixel; pixel pairs are block-granular
+        bp = b.reshape(n, h, k // (2 * cb), 2, cb * 128)
+        return bp[:, :, :, 0].reshape(n, h, k // 2, 128), \
+            bp[:, :, :, 1].reshape(n, h, k // 2, 128)
+    se, so = _sel_mats(c)
+    bp = b.reshape(n, h, k // 2, 2, 128)
+    se = jnp.asarray(se, x.dtype)
+    so = jnp.asarray(so, x.dtype)
+    e = jax.lax.dot_general(
+        bp, se, (((3, 4), (0, 1)), ((), ())),
+        preferred_element_type=x.dtype,
+    )
+    o = jax.lax.dot_general(
+        bp, so, (((3, 4), (0, 1)), ((), ())),
+        preferred_element_type=x.dtype,
+    )
+    return e, o
+
+
+def _v3_expand(ge, go, c: int, w: int):
+    """Transpose of _v3_pixel_pairs: pooled-block cotangents -> full-res
+    (N, H, W, C)."""
+    n, h, k2 = ge.shape[:3]
+    if c >= 128:
+        cb = c // 128
+        g2 = jnp.stack(
+            [ge.reshape(n, h, k2 // cb, cb * 128),
+             go.reshape(n, h, k2 // cb, cb * 128)], axis=3)
+        return g2.reshape(n, h, w, c)
+    se, so = _sel_mats(c)
+    se = jnp.asarray(se, ge.dtype)
+    so = jnp.asarray(so, ge.dtype)
+    gx = jax.lax.dot_general(
+        ge, se, (((3,), (2,)), ((), ())), preferred_element_type=ge.dtype,
+    ) + jax.lax.dot_general(
+        go, so, (((3,), (2,)), ((), ())), preferred_element_type=go.dtype,
+    )  # (N, H, K2, 2, 128)
+    return gx.reshape(n, h, w, c)
+
+
+@jax.custom_vjp
+def max_pool_2x2_v3(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W, C) -> (N, H/2, W/2, C); see _v3_applicable for shapes."""
+    n, h, w, c = x.shape
+    e, o = _v3_pixel_pairs(x)
+    pm = jnp.maximum(e, o)                       # pixel max per full row
+    y = jnp.maximum(pm[:, 0::2], pm[:, 1::2])    # row max, prefer row 0
+    return y.reshape(n, h // 2, w // 2, c)
+
+
+def _fwd_v3(x):
+    return max_pool_2x2_v3(x), x
+
+
+def _bwd_v3(x, g):
+    n, h, w, c = x.shape
+    e, o = _v3_pixel_pairs(x)
+    pm = jnp.maximum(e, o)
+    pm0, pm1 = pm[:, 0::2], pm[:, 1::2]
+    gb = g.reshape(n, h // 2, (w * c) // 256, 128)
+    zero = jnp.zeros((), g.dtype)
+    gr0 = jnp.where(pm0 >= pm1, gb, zero)        # ties -> row 0 (first)
+    gr1 = gb - gr0
+    grow = jnp.stack([gr0, gr1], axis=2).reshape(n, h, (w * c) // 256, 128)
+    ge = jnp.where(e >= o, grow, zero)           # ties -> even pixel
+    go = grow - ge
+    return (_v3_expand(ge, go, c, w),)
+
+
+max_pool_2x2_v3.defvjp(_fwd_v3, _bwd_v3)
