@@ -307,6 +307,25 @@ def _acc_conv(x0_ref, x1_ref, w_ref, plan: Plan):
     return acc
 
 
+def _halo_spec(plan: Plan):
+    """Block spec for the 2 halo rows below each row block.
+
+    The original formulation passed the input a second time with the SAME
+    BH-row block shape shifted by one block — the kernel reads only 2 of
+    those rows, but the block is the DMA unit, so every input byte moved
+    twice (round-5 DMA audit: the fwd kernel was ~2x input-bound).
+    Mosaic's minimum sublane block is 8, so when BH % 8 == 0 the halo
+    pass fetches an 8-row block at element offset (j+1)*BH (block index
+    (j+1)*BH/8), cutting the second pass to BH/8 of the tensor; smaller
+    BH keeps the legacy full-BH second pass. The kernels read x1[0][:2]
+    either way."""
+    if plan.bh % 8 == 0:
+        return pl.BlockSpec(
+            (1, 8, plan.l), lambda i, j: (i, (j + 1) * (plan.bh // 8), 0)
+        )
+    return pl.BlockSpec((1, plan.bh, plan.l), lambda i, j: (i, j + 1, 0))
+
+
 def _fwd_kernel(x0_ref, x1_ref, w_ref, b_ref, out_ref, *, plan: Plan):
     # The accumulator/output stay 3-D (BH, G, Nhat) with Nhat 128-padded:
     # Mosaic rejects lane-collapsing reshapes like (BH, G, 64)->(BH, G*64)
@@ -413,7 +432,7 @@ def _fwd_call_padded(xf, wb, btile, plan: Plan, interpret: bool):
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, plan.bh, plan.l), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, plan.bh, plan.l), lambda i, j: (i, j + 1, 0)),
+            _halo_spec(plan),
             pl.BlockSpec((3 * plan.p * plan.c, nhat), lambda i, j: (0, 0)),
             pl.BlockSpec((1, nhat), lambda i, j: (0, 0)),
         ],
@@ -441,7 +460,7 @@ def _fwd_stats_call_raw(xf, wb, btile, plan: Plan, interpret: bool):
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, plan.bh, plan.l), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, plan.bh, plan.l), lambda i, j: (i, j + 1, 0)),
+            _halo_spec(plan),
             pl.BlockSpec((3 * plan.p * plan.c, nhat), lambda i, j: (0, 0)),
             pl.BlockSpec((1, nhat), lambda i, j: (0, 0)),
         ],
@@ -528,7 +547,7 @@ def _wgrad_call(xf, g, plan: Plan, interpret: bool):
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, plan.bh, plan.l), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, plan.bh, plan.l), lambda i, j: (i, j + 1, 0)),
+            _halo_spec(plan),
             pl.BlockSpec((1, plan.bh, plan.g, nhat),
                          lambda i, j: (i, j, 0, 0)),
         ],
@@ -555,7 +574,7 @@ def _wgrad_call_grouped(xf, gg, plan: Plan, interpret: bool):
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, plan.bh, plan.l), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, plan.bh, plan.l), lambda i, j: (i, j + 1, 0)),
+            _halo_spec(plan),
             pl.BlockSpec((1, plan.bh, plan.g, nhat),
                          lambda i, j: (i, j, 0, 0)),
         ],
