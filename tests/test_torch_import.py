@@ -151,3 +151,120 @@ def test_wrong_model_name_rejected():
     sd = synth_state_dict("efficientnet-b0", rng)
     with pytest.raises(ValueError):
         convert_efficientnet_encoder(sd, "efficientnet-b3", in_channels=1)
+
+
+# ---------------------------------------------------------------------------
+# Numeric forward parity (VERDICT r4 item 6): the converter is proven
+# weight-correct, not just shape-correct, by running the SAME state_dict
+# through (a) a line-by-line torch reimplementation of the
+# efficientnet_pytorch encoder forward (Conv2dStaticSamePadding = TF-style
+# asymmetric SAME, BN eps 1e-3, swish, SE on block-input channels,
+# id_skip; efficient_encoder.py:83-103 tap points) and (b) the flax
+# EfficientNetEncoder after convert_efficientnet_encoder, and comparing
+# every stage tap. Eval mode on both sides (running stats, no
+# drop-connect), float32 both sides.
+# ---------------------------------------------------------------------------
+
+
+def torch_encoder_taps(sd, model_name: str, x_nchw, in_channels: int = 1):
+    """efficientnet_pytorch EfficientNetEncoder.forward in plain torch ops
+    (reference math: efficient_encoder.py:36-66 patch_first_conv,
+    :83-103 stage taps; efficientnet_pytorch MBConvBlock semantics)."""
+    import math
+
+    import torch
+    import torch.nn.functional as F
+
+    from wsl4mis_tpu.models.efficientunet import _BASE_BLOCKS, _SCALING
+
+    width, depth, _ = _SCALING[model_name]
+
+    def same_pad(x, k, s):
+        ih, iw = x.shape[-2:]
+        ph = max((math.ceil(ih / s) - 1) * s + k - ih, 0)
+        pw = max((math.ceil(iw / s) - 1) * s + k - iw, 0)
+        return F.pad(x, (pw // 2, pw - pw // 2, ph // 2, ph - ph // 2))
+
+    def bn(x, pre):
+        return F.batch_norm(
+            x, sd[f"{pre}.running_mean"], sd[f"{pre}.running_var"],
+            sd[f"{pre}.weight"], sd[f"{pre}.bias"], False, 0.0, 1e-3,
+        )
+
+    def swish(x):
+        return x * torch.sigmoid(x)
+
+    w = sd["_conv_stem.weight"]
+    if in_channels == 1:
+        w = w.sum(dim=1, keepdim=True)
+    h = F.conv2d(same_pad(x_nchw, 3, 2), w, stride=2)
+    h = swish(bn(h, "_bn0"))
+    feats = [x_nchw, h]
+    from wsl4mis_tpu.models.efficientunet import round_repeats
+
+    bi = 0
+    for gi, (e, k, s, _fin, _fout, r) in enumerate(_BASE_BLOCKS):
+        for j in range(round_repeats(r, depth)):
+            pre = f"_blocks.{bi}"
+            stride = s if j == 0 else 1
+            inp = h
+            if e != 1:
+                h = swish(
+                    bn(F.conv2d(h, sd[f"{pre}._expand_conv.weight"]),
+                       f"{pre}._bn0")
+                )
+            ch = h.shape[1]
+            h = F.conv2d(
+                same_pad(h, k, stride), sd[f"{pre}._depthwise_conv.weight"],
+                stride=stride, groups=ch,
+            )
+            h = swish(bn(h, f"{pre}._bn1"))
+            sq = h.mean(dim=(2, 3), keepdim=True)
+            sq = swish(F.conv2d(sq, sd[f"{pre}._se_reduce.weight"],
+                                sd[f"{pre}._se_reduce.bias"]))
+            sq = torch.sigmoid(F.conv2d(sq, sd[f"{pre}._se_expand.weight"],
+                                        sd[f"{pre}._se_expand.bias"]))
+            h = h * sq
+            h = bn(F.conv2d(h, sd[f"{pre}._project_conv.weight"]),
+                   f"{pre}._bn2")
+            if stride == 1 and inp.shape[1] == h.shape[1]:
+                h = h + inp  # drop-connect is a no-op in eval
+            bi += 1
+        if gi in {1, 2, 4, 6}:
+            feats.append(h)
+    return feats
+
+
+@pytest.mark.parametrize("model_name", ["efficientnet-b0", "efficientnet-b3"])
+def test_forward_numeric_parity_vs_torch(model_name):
+    import torch
+
+    from wsl4mis_tpu.models.efficientunet import EfficientNetEncoder
+
+    rng = np.random.RandomState(7)
+    sd = synth_state_dict(model_name, rng)
+    x = rng.rand(2, 64, 64, 1).astype(np.float32)
+
+    with torch.no_grad():
+        t_feats = torch_encoder_taps(
+            sd, model_name,
+            torch.as_tensor(x.transpose(0, 3, 1, 2)), in_channels=1,
+        )
+
+    params, stats = convert_efficientnet_encoder(sd, model_name,
+                                                 in_channels=1)
+    enc = EfficientNetEncoder(model_name=model_name, dtype=jnp.float32)
+    j_feats = enc.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x),
+        train=False,
+    )
+
+    assert len(t_feats) == len(j_feats) == 6
+    for i, (tf_, jf) in enumerate(zip(t_feats, j_feats)):
+        t_np = tf_.numpy().transpose(0, 2, 3, 1)  # NCHW -> NHWC
+        j_np = np.asarray(jf, np.float32)
+        assert t_np.shape == j_np.shape, f"tap {i}"
+        np.testing.assert_allclose(
+            j_np, t_np, rtol=2e-3, atol=2e-4,
+            err_msg=f"tap {i} ({model_name})",
+        )
