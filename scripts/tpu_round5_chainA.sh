@@ -24,11 +24,24 @@ START=$(date +%s)
 DEADLINE=${CHAIN_DEADLINE:-$((START + 30600))}
 left() { echo $(( DEADLINE - $(date +%s) )); }
 
+# between-stage hook: if model/r5_hook.sh exists and is executable, run it
+# once and rename it .done — lets the interactive session inject a bounded
+# kernel-A/B bench into the chain's TPU schedule without killing the chain.
+hook() {
+  if [ -x model/r5_hook.sh ] && [ "$(left)" -gt 3000 ]; then
+    timeout 2700 bash model/r5_hook.sh > model/r5_hook.log 2>&1
+    mv model/r5_hook.sh "model/r5_hook.done.$(date +%s)"
+  fi
+}
+
 # run_watch <logfile> <timeout_s> <stale_s> <resume_flag|-> <cmd...>
 run_watch() {
   local log=$1 tmo=$2 stale=$3 resume=$4; shift 4
   local rc=1
   for attempt in 1 2 3; do
+    local lft; lft=$(left)
+    if [ "$lft" -lt 300 ]; then return 1; fi
+    if [ "$tmo" -gt "$lft" ]; then tmo=$lft; fi
     local extra=()
     if [ "$resume" != "-" ] && [ "$attempt" -gt 1 ]; then
       extra=("$resume")
@@ -71,6 +84,8 @@ if [ -f model/ACDC_ScribbleVC_MAAGfold/scribble/scribblevc_best_model.pth ]; the
     scripts/test_ACDC_scribblevc.py
 fi
 
+hook
+
 # ---- 2. aug-parity A/B (pce fold1, 10k iters, same seed, both arms) ---
 if [ "$(left)" -gt 20000 ]; then
   run_watch model/r5_augab_device.log 4800 600 --resume \
@@ -78,13 +93,16 @@ if [ "$(left)" -gt 20000 ]; then
       --max_iterations 10000 --steps_per_call 10 --aug_mode device \
       --snapshot_root model/r5_augab_device
 fi
-if [ "$(left)" -gt 15000 ]; then
-  H_TMO=$(( $(left) - 12000 )); [ "$H_TMO" -gt 10800 ] && H_TMO=10800
+if [ "$(left)" -gt 9000 ]; then
+  # reserve after the host arm: pce60k (~2500s) + tests + bench tail
+  H_TMO=$(( $(left) - 6000 )); [ "$H_TMO" -gt 10800 ] && H_TMO=10800
   run_watch model/r5_augab_host.log "$H_TMO" 1200 --resume \
     python scripts/train_weakly_supervised_pCE_2D.py --fold fold1 \
       --max_iterations 10000 --aug_mode host \
       --snapshot_root model/r5_augab_host
 fi
+
+hook
 
 # ---- 3. pCE fold1 at the FULL 60k reference schedule + offline test ---
 if [ "$(left)" -gt 12000 ]; then
@@ -96,6 +114,8 @@ if [ -f model/ACDC_pCE_fold1/scribble/iter_60000.pth ]; then
   run_watch model/r5_pce60k_test.log 1800 600 - python \
     scripts/test_2D_fully.py --exp ACDC_pCE --fold fold1 --no_save
 fi
+
+hook
 
 # ---- 4. S2L + USTM fold1, documented schedules + offline tests --------
 if [ "$(left)" -gt 10000 ]; then
@@ -118,6 +138,8 @@ if [ -f "model/ACDC/pCE_Seg_USTM_fold1/scribble/iter_60000.pth" ]; then
     scripts/test_2D_fully.py --exp ACDC/pCE_Seg_USTM --fold fold1 --no_save
 fi
 
+hook
+
 # ---- 5. 15-cell matrix at the documented reduced 15k schedule ---------
 for m in pce dmpls pce_gatedcrf; do
   if [ "$(left)" -gt 4500 ]; then
@@ -127,6 +149,8 @@ for m in pce dmpls pce_gatedcrf; do
           --snapshot_root model/r5_matrix"
   fi
 done
+
+hook
 
 # ---- 6. tail: bench zoo with variance bars + fresh trace --------------
 if [ "$(left)" -gt 2400 ]; then
