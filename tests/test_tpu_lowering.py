@@ -126,6 +126,31 @@ def _smokes():
 
         _compile(jax.value_and_grad(f, argnums=(0, 1, 2)), x, k1, k2)
 
+    def conv_pool_chain():
+        # round-5 flat seam: grouped-io conv -> flat selection-matmul pool
+        # -> grouped-io conv, no 4D tensor anywhere in the seam
+        from wsl4mis_tpu.ops.maxpool import max_pool_2x2_flat
+        from wsl4mis_tpu.ops.pallas.banded_conv_pallas import (
+            banded_conv3x3_pallas_stats_grouped_io,
+        )
+
+        x = jax.random.normal(key, (2, 256, 32, 128), jnp.bfloat16)  # flat
+        k1 = jax.random.normal(key, (3, 3, 16, 16), jnp.bfloat16)
+        k2 = jax.random.normal(key, (3, 3, 16, 32), jnp.bfloat16)
+
+        def f(x, k1, k2):
+            yg, s1, s2 = banded_conv3x3_pallas_stats_grouped_io(x, 256, k1)
+            n, h = yg.shape[0], yg.shape[1]
+            yf = yg.reshape(n, h, 256 * 16)
+            pf = max_pool_2x2_flat(yf, 16)
+            y2, t1, t2 = banded_conv3x3_pallas_stats_grouped_io(
+                pf.reshape(n, h // 2, (256 * 16) // 256, 128), 128, k2
+            )
+            return (jnp.sum(y2.astype(jnp.float32)) + jnp.sum(s1)
+                    + jnp.sum(s2) + jnp.sum(t1) + jnp.sum(t2))
+
+        _compile(jax.value_and_grad(f, argnums=(0, 1, 2)), x, k1, k2)
+
     def crf():
         p = jax.nn.softmax(jax.random.normal(key, (2, 64, 64, 4)), axis=-1)
         img = jax.random.normal(key, (2, 64, 64, 1))
@@ -145,6 +170,7 @@ def _smokes():
     yield "banded_conv_smallc", conv_smallc
     yield "banded_conv_mdense", conv_mdense
     yield "banded_conv_chain", conv_chain
+    yield "conv_pool_chain_flat", conv_pool_chain
     yield "gated_crf", crf
     yield "augment", aug
 

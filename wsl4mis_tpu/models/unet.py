@@ -116,10 +116,15 @@ class _ConvOp(nn.Module):
             # flat-chained block path (caller checked chain eligibility)
             from ..ops.pallas.banded_conv_pallas import (
                 banded_conv3x3_pallas_stats_grouped_in,
+                banded_conv3x3_pallas_stats_grouped_io,
                 banded_conv3x3_pallas_stats_grouped_out,
             )
 
             b = bias.astype(self.dtype)
+            if self.grouped_in_w and self.grouped_out:
+                return banded_conv3x3_pallas_stats_grouped_io(
+                    xx, self.grouped_in_w, k, b, interpret=not _on_tpu()
+                )
             if self.grouped_in_w:
                 return banded_conv3x3_pallas_stats_grouped_in(
                     xx, self.grouped_in_w, k, b, interpret=not _on_tpu()
@@ -318,15 +323,66 @@ def _max_pool_2x2(x):
     return nn.max_pool(x, (2, 2), strides=(2, 2))
 
 
+def chain_ok(shape, features: int, train: bool) -> bool:
+    """Flat-chain eligibility for a ConvBlock with logical input `shape`
+    (N, H, W, C) — see ConvBlock._chain_ok for the knob semantics."""
+    if not train or len(shape) != 4:
+        return False
+    if os.environ.get("WSL4MIS_CONV_CHAIN", "flat") != "flat":
+        return False
+    if os.environ.get("WSL4MIS_BN_IMPL", "fused") != "fused":
+        return False
+    impl = os.environ.get("WSL4MIS_CONV_IMPL")
+    if impl is None:
+        impl = "pallas" if _on_tpu() else "direct"
+    if impl != "pallas":
+        return False
+    from ..ops.pallas.banded_conv_pallas import (
+        dense_chainable,
+        eligible,
+        plan_banded,
+    )
+
+    n, h, w, c = shape
+    k1 = (3, 3, c, features)
+    if not eligible(shape, k1):
+        return False
+    if not dense_chainable(plan_banded(c, features, h, w)):
+        return False
+    return eligible((n, h, w, features), (3, 3, features, features))
+
+
+def block_emits_flat(shape, features: int, train: bool) -> bool:
+    """True when a ConvBlock on logical `shape` can emit its output in
+    the dense flat (N, H, W*F) domain: the chain holds AND conv2's own
+    grouped output is byte-identical to row-major (dense_chainable)."""
+    if not chain_ok(shape, features, train):
+        return False
+    from ..ops.pallas.banded_conv_pallas import dense_chainable, plan_banded
+
+    n, h, w, _c = shape
+    return dense_chainable(plan_banded(features, features, h, w))
+
+
 class ConvBlock(nn.Module):
     features: int
     dropout_p: float
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, *, train: bool, in_flat_w: int | None = None,
+                 out_flat: bool = False):
+        """in_flat_w: x arrives as the dense flat (N, H, W*C) tensor with
+        logical width in_flat_w (caller verified chain_ok); out_flat:
+        return the dense flat (N, H, W*F) output (caller verified
+        block_emits_flat). Both are train-time flat-chain extensions —
+        the byte order is identical to the 4D path, so parity (incl. the
+        dropout stream) is preserved (tests/test_conv_chain.py)."""
+        if in_flat_w is not None:
+            return self._chain_flat(x, in_flat_w=in_flat_w,
+                                    out_flat=out_flat)
         if self._chain_ok(x, train):
-            return self._chain_flat(x)
+            return self._chain_flat(x, out_flat=out_flat)
         # WSL4MIS_BN_STATS=epilogue: the banded conv kernel emits BN
         # moments from its epilogue (banded_conv3x3_pallas_stats) so
         # FusedBatchNorm skips its full-tensor stats reduction.
@@ -359,48 +415,30 @@ class ConvBlock(nn.Module):
         layouts + pad copies) above the pool itself. Bit-parity with the
         4D path incl. the dropout stream (same row-major element order)
         is tested in tests/test_conv_chain.py."""
-        if not train or x.ndim != 4:
-            return False
-        # default ON: measured fs24 32.8 -> 32.2 ms, pce24 31.3 -> 30.7,
-        # dmpls neutral (model/r4_bench_chain.json); bit-parity tested
-        if os.environ.get("WSL4MIS_CONV_CHAIN", "flat") != "flat":
-            return False
-        # Knob precedence: a flat chain structurally uses FusedBatchNorm
-        # with conv-epilogue moments (the whole point is no standalone
-        # stats pass over the grouped lanes), so it is only taken when the
-        # BN impl knob is at its fused default — WSL4MIS_BN_IMPL=flax
-        # A/B runs fall back to the 4D path and measure what they claim.
-        # WSL4MIS_BN_STATS only affects the unchained path.
-        if os.environ.get("WSL4MIS_BN_IMPL", "fused") != "fused":
-            return False
-        impl = os.environ.get("WSL4MIS_CONV_IMPL")
-        if impl is None:
-            impl = "pallas" if _on_tpu() else "direct"
-        if impl != "pallas":
-            return False
-        from ..ops.pallas.banded_conv_pallas import (
-            dense_chainable,
-            eligible,
-            plan_banded,
-        )
+        # Knob precedence notes (see chain_ok): a flat chain structurally
+        # uses FusedBatchNorm with conv-epilogue moments, so it is only
+        # taken when WSL4MIS_BN_IMPL is at its fused default;
+        # WSL4MIS_BN_STATS only affects the unchained path. default ON:
+        # measured fs24 32.8 -> 32.2 ms (model/r4_bench_chain.json).
+        return chain_ok(tuple(x.shape) if x.ndim == 4 else (),
+                        self.features, train)
 
-        n, h, w, c = x.shape
-        k1 = (3, 3, c, self.features)
-        if not eligible(x.shape, k1):
-            return False
-        if not dense_chainable(plan_banded(c, self.features, h, w)):
-            return False
-        return eligible(
-            (n, h, w, self.features), (3, 3, self.features, self.features)
-        )
-
-    def _chain_flat(self, x):
+    def _chain_flat(self, x, in_flat_w: int | None = None,
+                    out_flat: bool = False):
         from ..ops.pallas.banded_conv_pallas import plan_banded
 
-        n, h, w, c = x.shape
+        n, h = x.shape[0], x.shape[1]
+        if in_flat_w is not None:
+            w = in_flat_w
+            lanes = x.shape[2]
+            c = lanes // w
+            x = x.reshape(n, h, lanes // 128, 128)
+        else:
+            w, c = x.shape[2], x.shape[3]
         plan1 = plan_banded(c, self.features, h, w)
         yg, s1, s2 = TorchConv(
-            self.features, dtype=self.dtype, grouped_out=True
+            self.features, dtype=self.dtype, grouped_out=True,
+            grouped_in_w=(w if in_flat_w is not None else 0),
         )(x)
         y = FusedBatchNorm(
             use_running_average=False, momentum=0.9, epsilon=1e-5,
@@ -414,6 +452,18 @@ class ConvBlock(nn.Module):
             )
             y = y * (mask.astype(self.dtype)
                      * jnp.asarray(1.0 / keep, self.dtype))
+        if out_flat:
+            plan2 = plan_banded(self.features, self.features, h, w)
+            yg2, s1b, s2b = TorchConv(
+                self.features, dtype=self.dtype, grouped_in_w=w,
+                grouped_out=True,
+            )(y)
+            y2 = FusedBatchNorm(
+                use_running_average=False, momentum=0.9, epsilon=1e-5,
+                name="BatchNorm_1",
+            )(yg2, moments=(s1b, s2b), lane_tile=plan2.j)
+            y2 = nn.leaky_relu(y2, negative_slope=0.01).astype(self.dtype)
+            return y2.reshape(n, h, w * self.features)
         y4, s1b, s2b = TorchConv(
             self.features, dtype=self.dtype, grouped_in_w=w
         )(y)
@@ -436,6 +486,31 @@ class ConvBlock(nn.Module):
         return batch_norm(out, train=train, name=bn_name)
 
 
+def _flat_seam_ok(in_shape, f_cur: int, f_next: int, train: bool) -> bool:
+    """True when the ConvBlock(in_shape -> f_cur) -> maxpool ->
+    ConvBlock(f_cur -> f_next) seam can run entirely in the dense flat
+    (N, H, W*C) domain: the producer can emit flat, the selection-matmul
+    pool applies at the producer's output shape, and the consumer can
+    take flat input at the pooled shape. WSL4MIS_POOL_CHAIN=flat enables
+    it (TPU pool impl must resolve to fused3, the matching pool math);
+    default off until the on-chip A/B (model/r5_hook) promotes it."""
+    if os.environ.get("WSL4MIS_POOL_CHAIN", "off") != "flat":
+        return False
+    impl = os.environ.get("WSL4MIS_POOL_IMPL")
+    if impl is None:
+        impl = "fused3" if _on_tpu() else "direct"
+    if impl != "fused3":
+        return False
+    from ..ops.maxpool import _v3_applicable
+
+    if not block_emits_flat(in_shape, f_cur, train):
+        return False
+    n, h, w, _c = in_shape
+    if not _v3_applicable((n, h, w, f_cur)):
+        return False
+    return chain_ok((n, h // 2, w // 2, f_cur), f_next, train)
+
+
 class Encoder(nn.Module):
     features: Sequence[int] = DEFAULT_FEATURES
     dropout: Sequence[float] = DEFAULT_DROPOUT
@@ -443,13 +518,45 @@ class Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool):
+        from ..ops.maxpool import max_pool_2x2_flat
+
+        f, d = self.features, self.dropout
+        n, h, w = x.shape[0], x.shape[1], x.shape[2]
+        # flat pool seams (round 5): when a stage's ConvBlock -> pool ->
+        # ConvBlock can all run on dense flat rows, no 4D small-C tensor
+        # exists at the seam and XLA cannot interpose its tiled W-/H-minor
+        # layouts (each such seam billed 0.2-0.6 ms of pad/reshape/copy in
+        # the round-5 trace/HLO join). The skip feature stays available as
+        # a free row-major reshape of the same bytes.
+        seam = []
+        sh = (n, h, w, x.shape[3])
+        for i in range(len(f) - 1):
+            seam.append(_flat_seam_ok(sh, f[i], f[i + 1], train))
+            sh = (n, sh[1] // 2, sh[2] // 2, f[i])
+
         feats = []
-        x = ConvBlock(self.features[0], self.dropout[0], self.dtype)(x, train=train)
-        feats.append(x)
-        for ch, p in zip(self.features[1:], self.dropout[1:]):
-            x = _max_pool_2x2(x)
-            x = ConvBlock(ch, p, self.dtype)(x, train=train)
-            feats.append(x)
+        cur_w = w
+        x = ConvBlock(f[0], d[0], self.dtype)(x, train=train,
+                                              out_flat=seam[0])
+        feats.append(
+            x.reshape(n, x.shape[1], cur_w, f[0]) if seam[0] else x
+        )
+        for i, (ch, p) in enumerate(zip(f[1:], d[1:]), start=1):
+            emit = seam[i] if i < len(f) - 1 else False
+            if seam[i - 1]:
+                x = max_pool_2x2_flat(x, f[i - 1])
+                cur_w //= 2
+                x = ConvBlock(ch, p, self.dtype)(
+                    x, train=train, in_flat_w=cur_w, out_flat=emit
+                )
+            else:
+                x = _max_pool_2x2(feats[-1])
+                cur_w //= 2
+                x = ConvBlock(ch, p, self.dtype)(x, train=train,
+                                                 out_flat=emit)
+            feats.append(
+                x.reshape(n, x.shape[1], cur_w, ch) if emit else x
+            )
         return feats
 
 

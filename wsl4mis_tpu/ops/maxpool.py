@@ -270,3 +270,72 @@ def _bwd_v3(x, g):
 
 
 max_pool_2x2_v3.defvjp(_fwd_v3, _bwd_v3)
+
+
+# ---------------------------------------------------------------------------
+# Flat-domain v3 (round 5): identical selection-matmul pool, but input and
+# output are the FLAT lane-dense (N, H, W*C) view (== row-major NHWC
+# bytes, e.g. a dense_chainable grouped conv output reshaped 3D). With no
+# 4D small-C tensor on either side, XLA cannot interpose its W-/H-minor
+# tiled layouts at the pool seam — the encoder stays in the flat domain
+# from one banded conv to the next (models/unet.py Encoder, knob
+# WSL4MIS_POOL_CHAIN). Bit-parity with max_pool_2x2_v3 (same math on the
+# same bytes) is tested in tests/test_maxpool.py.
+# ---------------------------------------------------------------------------
+
+
+def _flat_pixel_pairs(xb, c: int):
+    """(N,H,K,128) lane blocks -> (e, o) even/odd-pixel pooled blocks,
+    each (N,H,K/2,128) — the block body of _v3_pixel_pairs."""
+    n, h, k, _ = xb.shape
+    if c >= 128:
+        cb = c // 128
+        bp = xb.reshape(n, h, k // (2 * cb), 2, cb * 128)
+        return bp[:, :, :, 0].reshape(n, h, k // 2, 128), \
+            bp[:, :, :, 1].reshape(n, h, k // 2, 128)
+    se, so = _sel_mats(c)
+    bp = xb.reshape(n, h, k // 2, 2, 128)
+    se = jnp.asarray(se, xb.dtype)
+    so = jnp.asarray(so, xb.dtype)
+    e = jax.lax.dot_general(
+        bp, se, (((3, 4), (0, 1)), ((), ())),
+        preferred_element_type=xb.dtype,
+    )
+    o = jax.lax.dot_general(
+        bp, so, (((3, 4), (0, 1)), ((), ())),
+        preferred_element_type=xb.dtype,
+    )
+    return e, o
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def max_pool_2x2_flat(xf: jnp.ndarray, c: int) -> jnp.ndarray:
+    """(N, H, L) flat dense rows (L = W*C) -> (N, H/2, L/2)."""
+    n, h, length = xf.shape
+    e, o = _flat_pixel_pairs(xf.reshape(n, h, length // 128, 128), c)
+    pm = jnp.maximum(e, o)
+    y = jnp.maximum(pm[:, 0::2], pm[:, 1::2])
+    return y.reshape(n, h // 2, length // 2)
+
+
+def _fwd_flat(xf, c):
+    return max_pool_2x2_flat(xf, c), xf
+
+
+def _bwd_flat(c, xf, g):
+    n, h, length = xf.shape
+    e, o = _flat_pixel_pairs(xf.reshape(n, h, length // 128, 128), c)
+    pm = jnp.maximum(e, o)
+    pm0, pm1 = pm[:, 0::2], pm[:, 1::2]
+    gb = g.reshape(n, h // 2, length // 256, 128)
+    zero = jnp.zeros((), g.dtype)
+    gr0 = jnp.where(pm0 >= pm1, gb, zero)        # ties -> row 0 (first)
+    gr1 = gb - gr0
+    grow = jnp.stack([gr0, gr1], axis=2).reshape(n, h, length // 256, 128)
+    ge = jnp.where(e >= o, grow, zero)           # ties -> even pixel
+    go = grow - ge
+    w = length // c
+    return (_v3_expand(ge, go, c, w).reshape(n, h, length),)
+
+
+max_pool_2x2_flat.defvjp(_fwd_flat, _bwd_flat)

@@ -718,6 +718,32 @@ def _banded_conv_stats_gout_fwd(interpret, w, x, kernel, bias):
     return (yg, s1, s2), (xf, kernel, yg)
 
 
+def _dgrad_from_grouped(interpret, gg, kernel, plan: Plan):
+    """dgrad conv(g, rot(kernel)) for a cotangent gg that lives in the
+    DENSE grouped layout (requires dense_chainable(plan), so gg's bytes
+    are the row-major (N,H,W,O) tensor). The dgrad kernel input is built
+    with ONE dense-lane pad (_pad_flat_grouped) instead of the 4D
+    unpack -> pad -> reshape detour, whose tiled-layout copies the round-5
+    trace billed at ~0.2 ms per chained block in the backward. Bit-exact:
+    both constructions place identical zeros at identical lanes."""
+    n, h = gg.shape[0], gg.shape[1]
+    krot = _rot_kernel(kernel).astype(gg.dtype)
+    rplan = plan_banded(plan.o, plan.c, h, plan.w)
+    if rplan is None:
+        return _direct_conv(_unpack4(gg, plan), krot)
+    wbr = _pad_n(band_weights3(krot, rplan), rplan)
+    zb = jnp.zeros((1, _ceil128(rplan.j * rplan.o)), krot.dtype)
+    gfx = _pad_flat_grouped(gg, rplan)
+    return _fwd_call_padded(gfx, wbr, zb, rplan, interpret)
+
+
+def _db_from_grouped(gg, plan: Plan):
+    """Bias cotangent (O,) from a dense grouped cotangent: the lane dim
+    packs (J pixels x O channels), so fold lanes as (J, O) and sum."""
+    s = jnp.sum(gg.astype(jnp.float32), axis=(0, 1, 2))
+    return s.reshape(plan.j, plan.o).sum(0)
+
+
 def _banded_conv_stats_gout_bwd(interpret, w, res, cts):
     xf, kernel, yg = res
     gyg, gs1, gs2 = cts
@@ -728,24 +754,69 @@ def _banded_conv_stats_gout_bwd(interpret, w, res, cts):
     g32 = g32 + _tile_lane(gs1, plan)
     g32 = g32 + 2.0 * yg.astype(jnp.float32) * _tile_lane(gs2, plan)
     gg = g32.astype(xf.dtype)
-    # dgrad via the 4D path (the block INPUT x is 4D in chain v1)
-    g4 = _unpack4(gg, plan)
-    krot = _rot_kernel(kernel).astype(g4.dtype)
-    rplan = plan_banded(o, c, h, w)
-    if rplan is not None:
-        wbr = _pad_n(band_weights3(krot, rplan), rplan)
-        zb = jnp.zeros((1, _ceil128(rplan.j * rplan.o)), krot.dtype)
-        dx = _fwd_call(g4, wbr, zb, rplan, interpret)
-    else:
-        dx = _direct_conv(g4, krot)
+    # gout's contract guarantees dense_chainable(plan): dgrad straight
+    # from the grouped cotangent, no 4D round trip
+    dx = _dgrad_from_grouped(interpret, gg, kernel, plan)
     dwb = _wgrad_call_grouped(xf, gg, plan, interpret)
     dk = unband_grad(dwb, plan).astype(kernel.dtype)
-    db = jnp.sum(g4.astype(jnp.float32), axis=(0, 1, 2)).astype(g4.dtype)
+    db = _db_from_grouped(gg, plan).astype(gg.dtype)
     return dx.astype(xf.dtype), dk, db
 
 
 _banded_conv_stats_gout.defvjp(
     _banded_conv_stats_gout_fwd, _banded_conv_stats_gout_bwd
+)
+
+
+# ---- grouped-in AND grouped-out (round 5): conv whose input arrives as
+# a dense flat tensor (previous flat-chained block, pooled in the flat
+# domain) and whose output feeds the next flat consumer. No 4D tensor
+# exists on either side, so XLA has no seam at which to interpose its
+# small-C W-/H-minor tiled layouts (the round-5 trace/HLO join billed
+# each such seam 0.2-0.4 ms in pad/reshape/copy).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _banded_conv_stats_gio(interpret: bool, w: int, g0n0, xg, kernel, bias):
+    plan = plan_banded(kernel.shape[2], kernel.shape[3], xg.shape[1], w)
+    wb = _pad_n(band_weights3(kernel, plan), plan)
+    btile = _pad_n(jnp.tile(bias, plan.j)[None], plan)
+    return _fwd_stats_call_raw(
+        _pad_flat_grouped(xg, plan), wb, btile, plan, interpret
+    )
+
+
+def _banded_conv_stats_gio_fwd(interpret, w, g0n0, xg, kernel, bias):
+    plan = plan_banded(kernel.shape[2], kernel.shape[3], xg.shape[1], w)
+    wb = _pad_n(band_weights3(kernel, plan), plan)
+    btile = _pad_n(jnp.tile(bias, plan.j)[None], plan)
+    xf = _pad_flat_grouped(xg, plan)
+    yg, s1, s2 = _fwd_stats_call_raw(xf, wb, btile, plan, interpret)
+    return (yg, s1, s2), (xf, kernel, yg)
+
+
+def _banded_conv_stats_gio_bwd(interpret, w, g0n0, res, cts):
+    xf, kernel, yg = res
+    gyg, gs1, gs2 = cts
+    c, o = kernel.shape[2], kernel.shape[3]
+    h = yg.shape[1]
+    plan = plan_banded(c, o, h, w)
+    g32 = gyg.astype(jnp.float32)
+    g32 = g32 + _tile_lane(gs1, plan)
+    g32 = g32 + 2.0 * yg.astype(jnp.float32) * _tile_lane(gs2, plan)
+    gg = g32.astype(xf.dtype)
+    dx = _dgrad_from_grouped(interpret, gg, kernel, plan)
+    dwb = _wgrad_call_grouped(xf, gg, plan, interpret)
+    dk = unband_grad(dwb, plan).astype(kernel.dtype)
+    db = _db_from_grouped(gg, plan).astype(gg.dtype)
+    # the producer side is dense flat, so the 4D dx's row-major bytes ARE
+    # the grouped input cotangent
+    dx = dx.astype(xf.dtype)
+    return dx.reshape(dx.shape[0], dx.shape[1], *g0n0), dk, db
+
+
+_banded_conv_stats_gio.defvjp(
+    _banded_conv_stats_gio_fwd, _banded_conv_stats_gio_bwd
 )
 
 
@@ -810,6 +881,23 @@ def banded_conv3x3_pallas_stats_grouped_in(xg, w, kernel, bias=None, *,
     if bias is None:
         bias = jnp.zeros((kernel.shape[3],), xg.dtype)
     return _banded_conv_stats_gin(
+        interpret, w, tuple(xg.shape[2:]), xg, kernel, bias.astype(xg.dtype)
+    )
+
+
+def banded_conv3x3_pallas_stats_grouped_io(xg, w, kernel, bias=None, *,
+                                           interpret: bool = False):
+    """Conv + moments consuming a grouped/flat dense (N, H, G0, N0) input
+    AND emitting the RAW grouped (N, H, G, Nhat) output (dense_chainable
+    required on the output plan). w is the logical pixel width
+    (G0*N0 == w * C). The fully-flat variant for encoder stages whose
+    pool seam also runs in the flat domain (ops/maxpool.py
+    max_pool_2x2_flat)."""
+    plan = plan_banded(kernel.shape[2], kernel.shape[3], xg.shape[1], w)
+    assert dense_chainable(plan), (xg.shape, kernel.shape)
+    if bias is None:
+        bias = jnp.zeros((kernel.shape[3],), xg.dtype)
+    return _banded_conv_stats_gio(
         interpret, w, tuple(xg.shape[2:]), xg, kernel, bias.astype(xg.dtype)
     )
 
