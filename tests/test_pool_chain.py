@@ -110,6 +110,57 @@ def test_unet_flat_pool_chain_bit_parity(flat_env, monkeypatch):
         )
 
 
+def test_unet_up_chain_parity(flat_env, monkeypatch):
+    """Decoder flat path (WSL4MIS_UP_CHAIN=flat): the split-kernel conv
+    replaces the channel concat. Each half accumulates in its own kernel
+    before the sum, so parity is to accumulation-order tolerance (f32),
+    not bitwise."""
+    monkeypatch.setenv("WSL4MIS_TCONV_IMPL", "matmul")
+    x = jax.random.normal(jax.random.key(5), (1, 64, 256, 1), jnp.float32)
+    monkeypatch.setenv("WSL4MIS_UP_CHAIN", "off")
+    y_off, bs_off, g_off = _unet_run(x, True, monkeypatch)
+    monkeypatch.setenv("WSL4MIS_UP_CHAIN", "flat")
+    y_on, bs_on, g_on = _unet_run(x, True, monkeypatch)
+    np.testing.assert_allclose(y_off, y_on, rtol=1e-4, atol=1e-4)
+
+    def _by_key(tree):
+        return sorted(
+            ((jax.tree_util.keystr(p), v)
+             for p, v in jax.tree_util.tree_leaves_with_path(tree)),
+            key=lambda kv: kv[0],
+        )
+
+    for (k1, v1), (k2, v2) in zip(_by_key(bs_off), _by_key(bs_on)):
+        assert k1 == k2
+        np.testing.assert_allclose(
+            np.asarray(v1), np.asarray(v2), rtol=1e-4, atol=1e-5,
+            err_msg=k1,
+        )
+    for (k1, v1), (k2, v2) in zip(_by_key(g_off), _by_key(g_on)):
+        assert k1 == k2
+        np.testing.assert_allclose(
+            np.asarray(v1), np.asarray(v2), rtol=1e-3, atol=1e-2,
+            err_msg=k1,
+        )
+
+
+def test_unet_up_chain_param_tree_unchanged(flat_env, monkeypatch):
+    """Split-conv path must keep the concat path's param tree."""
+    monkeypatch.setenv("WSL4MIS_TCONV_IMPL", "matmul")
+    x = jnp.zeros((1, 64, 256, 1), jnp.float32)
+    shapes = {}
+    for up in ("off", "flat"):
+        monkeypatch.setenv("WSL4MIS_UP_CHAIN", up)
+        monkeypatch.setenv("WSL4MIS_POOL_CHAIN", "flat")
+        net = UNet(num_classes=4, dtype=jnp.float32)
+        v = net.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            x, train=True,
+        )
+        shapes[up] = jax.tree.map(lambda a: a.shape, v["params"])
+    assert shapes["off"] == shapes["flat"]
+
+
 def test_unet_param_tree_unchanged(flat_env, monkeypatch):
     """Checkpoints interchangeable between flat-seam and 4D paths."""
     x = jnp.zeros((1, 64, 256, 1), jnp.float32)

@@ -151,6 +151,29 @@ def _smokes():
 
         _compile(jax.value_and_grad(f, argnums=(0, 1, 2)), x, k1, k2)
 
+    def conv_split_flat():
+        # round-5 UpBlock flat path: conv(concat(a,b)) as two kernel-split
+        # grouped-io convs summed, no materialized concat
+        from wsl4mis_tpu.ops.pallas.banded_conv_pallas import (
+            banded_conv3x3_pallas_stats_grouped_io,
+        )
+
+        a = jax.random.normal(key, (2, 256, 32, 128), jnp.bfloat16)
+        b = jax.random.normal(key, (2, 256, 32, 128), jnp.bfloat16)
+        k = jax.random.normal(key, (3, 3, 32, 16), jnp.bfloat16)
+        bias = jnp.zeros((16,), jnp.bfloat16)
+
+        def f(a, b, k, bias):
+            ya, _, _ = banded_conv3x3_pallas_stats_grouped_io(
+                a, 256, k[:, :, :16], bias
+            )
+            yb, _, _ = banded_conv3x3_pallas_stats_grouped_io(
+                b, 256, k[:, :, 16:]
+            )
+            return jnp.sum((ya + yb).astype(jnp.float32))
+
+        _compile(jax.value_and_grad(f, argnums=(0, 1, 2, 3)), a, b, k, bias)
+
     def crf():
         p = jax.nn.softmax(jax.random.normal(key, (2, 64, 64, 4)), axis=-1)
         img = jax.random.normal(key, (2, 64, 64, 1))
@@ -171,6 +194,7 @@ def _smokes():
     yield "banded_conv_mdense", conv_mdense
     yield "banded_conv_chain", conv_chain
     yield "conv_pool_chain_flat", conv_pool_chain
+    yield "conv_split_flat", conv_split_flat
     yield "gated_crf", crf
     yield "augment", aug
 

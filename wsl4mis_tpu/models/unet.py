@@ -95,9 +95,15 @@ class _ConvOp(nn.Module):
     with_stats: bool = False  # return (y, s1, s2) on the pallas path
     grouped_out: bool = False   # flat chain: emit raw grouped (N,H,G,Nhat)
     grouped_in_w: int = 0       # flat chain: input is grouped, width w
+    split_flat_w: int = 0       # x = (a, b) grouped halves; conv as two
+    #                             kernel-split gio calls summed (UpBlock
+    #                             flat path: conv(concat(a,b)) with no
+    #                             materialized concat)
 
     @nn.compact
     def __call__(self, x):
+        if self.split_flat_w:
+            return self._split_flat(x)
         in_ch = (
             x.shape[-1] if not self.grouped_in_w
             else (x.shape[-2] * x.shape[-1]) // self.grouped_in_w
@@ -161,6 +167,52 @@ class _ConvOp(nn.Module):
         )
         return y + bias.astype(y.dtype)
 
+    def _split_flat(self, x):
+        """conv(concat(a, b)) as two kernel-split grouped-io convs summed
+        — the UpBlock flat path's replacement for the channel concat,
+        whose per-pixel lane interleave is a materializing copy. a and b
+        arrive as grouped dense halves with EQUAL channel counts (equal
+        plans, so the grouped outputs are byte-compatible and sum
+        elementwise). Returns (yg, s1, s2) with f32 channel moments
+        reduced off the dense lanes (fuses into the summing op).
+        Numerics: each half accumulates f32 in its own kernel and rounds
+        to the compute dtype before the add — within one bf16 ulp of the
+        single-kernel concat path (exact in f32 up to sum order)."""
+        from ..ops.pallas.banded_conv_pallas import (
+            banded_conv3x3_pallas_stats_grouped_io,
+            plan_banded,
+        )
+
+        a, b = x
+        w = self.split_flat_w
+        n, h = a.shape[0], a.shape[1]
+        ca = (a.shape[-2] * a.shape[-1]) // w
+        cb = (b.shape[-2] * b.shape[-1]) // w
+        assert ca == cb, (ca, cb)
+        in_ch = ca + cb
+        kshape = (*self.kernel_size, in_ch, self.features)
+        kernel = self.param("kernel", self.kernel_init, kshape, jnp.float32)
+        bias = self.param(
+            "bias", self.bias_init, (self.features,), jnp.float32
+        )
+        k = kernel.astype(self.dtype)
+        interp = not _on_tpu()
+        ya, _, _ = banded_conv3x3_pallas_stats_grouped_io(
+            a.astype(self.dtype), w, k[:, :, :ca], bias.astype(self.dtype),
+            interpret=interp,
+        )
+        yb, _, _ = banded_conv3x3_pallas_stats_grouped_io(
+            b.astype(self.dtype), w, k[:, :, ca:], None, interpret=interp,
+        )
+        yg = ya + yb
+        jj = plan_banded(ca, self.features, h, w).j
+        y5 = yg.astype(jnp.float32).reshape(
+            n, h, -1, jj, self.features
+        )
+        s1 = jnp.sum(y5, axis=(0, 1, 2, 3))
+        s2 = jnp.sum(jnp.square(y5), axis=(0, 1, 2, 3))
+        return yg, s1, s2
+
 
 class TorchConv(nn.Module):
     """3x3/1x1 conv with torch-default initialization (NHWC)."""
@@ -171,13 +223,19 @@ class TorchConv(nn.Module):
     with_stats: bool = False
     grouped_out: bool = False
     grouped_in_w: int = 0
+    split_flat_w: int = 0
 
     @nn.compact
     def __call__(self, x):
-        in_ch = (
-            x.shape[-1] if not self.grouped_in_w
-            else (x.shape[-2] * x.shape[-1]) // self.grouped_in_w
-        )
+        if self.split_flat_w:
+            a, b = x
+            in_ch = (
+                (a.shape[-2] * a.shape[-1]) + (b.shape[-2] * b.shape[-1])
+            ) // self.split_flat_w
+        elif self.grouped_in_w:
+            in_ch = (x.shape[-2] * x.shape[-1]) // self.grouped_in_w
+        else:
+            in_ch = x.shape[-1]
         fan_in = in_ch * self.kernel_size[0] * self.kernel_size[1]
         bound = 1.0 / (fan_in ** 0.5)
         return _ConvOp(
@@ -189,6 +247,7 @@ class TorchConv(nn.Module):
             with_stats=self.with_stats,
             grouped_out=self.grouped_out,
             grouped_in_w=self.grouped_in_w,
+            split_flat_w=self.split_flat_w,
             name="Conv_0",
         )(x)
 
@@ -203,12 +262,17 @@ class _MatmulConvTranspose(nn.Module):
     (C -> 4*O) quarters the padded FLOPs. Same param tree (kernel/bias,
     flax ConvTranspose shapes) so checkpoints are interchangeable;
     bit-parity tested in tests/test_models.py.
+
+    out_flat: emit the dense flat (N, 2H, 2W*O) view instead of 4D — the
+    same bytes in the same order (the trailing reshape is flipped), for
+    consumers that stay in the flat domain (UpBlock flat path).
     """
 
     features: int
     dtype: Dtype
     kernel_init: Any
     bias_init: Any
+    out_flat: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -236,6 +300,10 @@ class _MatmulConvTranspose(nn.Module):
         # were ~1.7 ms/step in the round-3 trace). The width interleave
         # (w, b, o) -> (2w, o) is lane-order-preserving and free.
         y = (y + jnp.tile(bias, 4)).astype(self.dtype)
+        if self.out_flat:
+            ya = y[..., : 2 * o].reshape(n, h, 2 * w * o)
+            yb = y[..., 2 * o:].reshape(n, h, 2 * w * o)
+            return jnp.stack([ya, yb], axis=2).reshape(n, 2 * h, 2 * w * o)
         ya = y[..., : 2 * o].reshape(n, h, 2 * w, o)
         yb = y[..., 2 * o:].reshape(n, h, 2 * w, o)
         return jnp.stack([ya, yb], axis=2).reshape(n, 2 * h, 2 * w, o)
@@ -253,6 +321,8 @@ class TorchConvTranspose(nn.Module):
     features: int
     dtype: Dtype = jnp.bfloat16
 
+    out_flat: bool = False
+
     @nn.compact
     def __call__(self, x):
         fan_in = self.features * 2 * 2
@@ -266,8 +336,10 @@ class TorchConvTranspose(nn.Module):
                 self.dtype,
                 _uniform_bound(bound),
                 _uniform_bound(bound),
+                out_flat=self.out_flat,
                 name="ConvTranspose_0",
             )(x)
+        assert not self.out_flat  # caller gates on impl == "matmul"
         return nn.ConvTranspose(
             self.features,
             (2, 2),
@@ -371,13 +443,20 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool, in_flat_w: int | None = None,
-                 out_flat: bool = False):
+                 out_flat: bool = False,
+                 split_in: tuple | None = None):
         """in_flat_w: x arrives as the dense flat (N, H, W*C) tensor with
         logical width in_flat_w (caller verified chain_ok); out_flat:
         return the dense flat (N, H, W*F) output (caller verified
         block_emits_flat). Both are train-time flat-chain extensions —
         the byte order is identical to the 4D path, so parity (incl. the
-        dropout stream) is preserved (tests/test_conv_chain.py)."""
+        dropout stream) is preserved (tests/test_conv_chain.py).
+
+        split_in: (a_flat, b_flat, w) — the block's logical input is
+        concat(a, b) on channels but never materialized; conv1 runs as
+        two kernel-split grouped convs summed (UpBlock flat path)."""
+        if split_in is not None:
+            return self._chain_flat_split(*split_in, out_flat=out_flat)
         if in_flat_w is not None:
             return self._chain_flat(x, in_flat_w=in_flat_w,
                                     out_flat=out_flat)
@@ -440,6 +519,55 @@ class ConvBlock(nn.Module):
             self.features, dtype=self.dtype, grouped_out=True,
             grouped_in_w=(w if in_flat_w is not None else 0),
         )(x)
+        y = FusedBatchNorm(
+            use_running_average=False, momentum=0.9, epsilon=1e-5,
+            name="BatchNorm_0",
+        )(yg, moments=(s1, s2), lane_tile=plan1.j)
+        y = nn.leaky_relu(y, negative_slope=0.01).astype(self.dtype)
+        if self.dropout_p > 0:
+            keep = 1.0 - self.dropout_p
+            mask = jax.random.bernoulli(
+                self.make_rng("dropout"), keep, y.shape
+            )
+            y = y * (mask.astype(self.dtype)
+                     * jnp.asarray(1.0 / keep, self.dtype))
+        if out_flat:
+            plan2 = plan_banded(self.features, self.features, h, w)
+            yg2, s1b, s2b = TorchConv(
+                self.features, dtype=self.dtype, grouped_in_w=w,
+                grouped_out=True,
+            )(y)
+            y2 = FusedBatchNorm(
+                use_running_average=False, momentum=0.9, epsilon=1e-5,
+                name="BatchNorm_1",
+            )(yg2, moments=(s1b, s2b), lane_tile=plan2.j)
+            y2 = nn.leaky_relu(y2, negative_slope=0.01).astype(self.dtype)
+            return y2.reshape(n, h, w * self.features)
+        y4, s1b, s2b = TorchConv(
+            self.features, dtype=self.dtype, grouped_in_w=w
+        )(y)
+        y4 = FusedBatchNorm(
+            use_running_average=False, momentum=0.9, epsilon=1e-5,
+            name="BatchNorm_1",
+        )(y4, moments=(s1b, s2b))
+        return nn.leaky_relu(y4, negative_slope=0.01).astype(self.dtype)
+
+    def _chain_flat_split(self, a_flat, b_flat, w: int,
+                          out_flat: bool = False):
+        """conv1 over a never-materialized channel concat: two grouped
+        halves summed (see _ConvOp._split_flat), then the standard flat
+        chain tail. The decoder ConvBlocks have dropout_p == 0 so the
+        rng stream is untouched."""
+        from ..ops.pallas.banded_conv_pallas import plan_banded
+
+        n, h = a_flat.shape[0], a_flat.shape[1]
+        a4 = a_flat.reshape(n, h, a_flat.shape[2] // 128, 128)
+        b4 = b_flat.reshape(n, h, b_flat.shape[2] // 128, 128)
+        ca = a_flat.shape[2] // w
+        plan1 = plan_banded(ca, self.features, h, w)
+        yg, s1, s2 = TorchConv(
+            self.features, dtype=self.dtype, split_flat_w=w
+        )((a4, b4))
         y = FusedBatchNorm(
             use_running_average=False, momentum=0.9, epsilon=1e-5,
             name="BatchNorm_0",
@@ -560,6 +688,32 @@ class Encoder(nn.Module):
         return feats
 
 
+def _up_flat_ok(skip_shape, skip_features: int, out_features: int,
+                train: bool) -> bool:
+    """UpBlock flat-path eligibility (WSL4MIS_UP_CHAIN=flat): the matmul
+    tconv emits the dense flat view, conv1 runs as two kernel-split
+    grouped convs (no materialized concat), conv2 chains grouped-in.
+    Requires the tconv channel count to equal the skip's (true for every
+    reference UpBlock) and banded+dense plans for the half-channel conv."""
+    if os.environ.get("WSL4MIS_UP_CHAIN", "off") != "flat":
+        return False
+    if not train:
+        return False
+    timpl = os.environ.get("WSL4MIS_TCONV_IMPL")
+    if timpl is None:
+        timpl = "matmul" if _on_tpu() else "direct"
+    if timpl != "matmul":
+        return False
+    n, h2, w2, cs = skip_shape
+    if cs != skip_features:
+        return False
+    if not chain_ok((n, h2, w2, cs), out_features, train):
+        return False
+    from ..ops.pallas.banded_conv_pallas import dense_chainable, plan_banded
+
+    return dense_chainable(plan_banded(cs, out_features, h2, w2))
+
+
 class UpBlock(nn.Module):
     """ConvTranspose upsample of the deep path, concat skip, ConvBlock."""
 
@@ -569,6 +723,16 @@ class UpBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x_deep, x_skip, *, train: bool):
+        if _up_flat_ok(tuple(x_skip.shape), self.skip_features,
+                       self.out_features, train):
+            n, h2, w2, cs = x_skip.shape
+            up_f = TorchConvTranspose(
+                self.skip_features, dtype=self.dtype, out_flat=True
+            )(x_deep)
+            skip_f = x_skip.astype(self.dtype).reshape(n, h2, w2 * cs)
+            return ConvBlock(self.out_features, 0.0, self.dtype)(
+                None, train=train, split_in=(skip_f, up_f, w2)
+            )
         x = TorchConvTranspose(self.skip_features, dtype=self.dtype)(x_deep)
         x = jnp.concatenate([x_skip, x], axis=-1)
         return ConvBlock(self.out_features, 0.0, self.dtype)(x, train=train)
