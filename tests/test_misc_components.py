@@ -95,3 +95,42 @@ def test_seg_utils(rng):
     sdf = compute_sdf(mask)
     assert sdf.min() >= -1 and sdf.max() <= 1
     assert sdf[8, 8] < 0 and sdf[0, 0] > 0
+
+
+def test_cross_entropy2d_vs_torch(rng):
+    import torch
+
+    from wsl4mis_tpu.utils.seg_utils import cross_entropy2d
+
+    logit = rng.randn(2, 8, 8, 4).astype(np.float32)
+    target = rng.randint(0, 4, (2, 8, 8))
+    target[0, :2] = 255  # ignored pixels
+    ours = cross_entropy2d(logit, target, ignore_index=255)
+    ref = torch.nn.functional.cross_entropy(
+        torch.tensor(logit.transpose(0, 3, 1, 2)),
+        torch.tensor(target, dtype=torch.long),
+        ignore_index=255, reduction="sum",
+    ).item() / (8 * 8) / 2  # size_average then batch_average
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+    w = [1.0, 2.0, 0.5, 1.5]
+    ours_w = cross_entropy2d(logit, target, ignore_index=255, weight=w)
+    ref_w = torch.nn.functional.cross_entropy(
+        torch.tensor(logit.transpose(0, 3, 1, 2)),
+        torch.tensor(target, dtype=torch.long),
+        weight=torch.tensor(w), ignore_index=255, reduction="sum",
+    ).item() / (8 * 8) / 2
+    np.testing.assert_allclose(ours_w, ref_w, rtol=1e-5)
+
+
+def test_get_mc_dice(rng):
+    from wsl4mis_tpu.utils.seg_utils import get_mc_dice
+
+    pred = rng.randint(0, 3, (2, 8, 8))
+    gt = rng.randint(0, 3, (2, 8, 8))
+    d = get_mc_dice(pred, gt, num=3)
+    assert d.shape == (2,)
+    # exact-match dice with the reference's 1.0 smooth
+    full = np.ones((1, 4, 4), int)
+    d2 = get_mc_dice(full, full, num=2)
+    np.testing.assert_allclose(d2[0], 2.0 * 16 / (1.0 + 32))

@@ -50,6 +50,51 @@ def post_processing(prediction: np.ndarray, num_classes: int = 4) -> np.ndarray:
     return out
 
 
+def cross_entropy2d(logit: np.ndarray, target: np.ndarray,
+                    ignore_index: int = 255, weight=None,
+                    size_average: bool = True,
+                    batch_average: bool = True) -> float:
+    """Reference dataloaders/utils.py:131-148 (unused by any train
+    script; kept for inventory completeness). logit: (N, H, W, C) f32
+    (NHWC — this framework's convention; the reference takes NCHW);
+    target: (N, H, W) int. Sum-CE over non-ignored pixels with optional
+    per-class weights, divided by H*W (size_average) and N
+    (batch_average)."""
+    n, h, w, c = logit.shape
+    logit = np.asarray(logit, np.float64)
+    target = np.asarray(target, np.int64)
+    logp = logit - logit.max(axis=-1, keepdims=True)
+    logp = logp - np.log(np.exp(logp).sum(axis=-1, keepdims=True))
+    valid = target != ignore_index
+    tclip = np.where(valid, target, 0)
+    picked = np.take_along_axis(logp, tclip[..., None], axis=-1)[..., 0]
+    wvec = (np.ones(c) if weight is None
+            else np.asarray(weight, np.float64))
+    loss = -(picked * wvec[tclip] * valid).sum()
+    if size_average:
+        loss /= h * w
+    if batch_average:
+        loss /= n
+    return float(loss)
+
+
+def get_mc_dice(pred: np.ndarray, gt: np.ndarray, num: int = 2) -> np.ndarray:
+    """Reference dataloaders/utils.py:200-212 (unused by any train
+    script). Per-foreground-class dice summed over the batch, smooth
+    1.0 in the denominator; num includes background."""
+    pred = np.asarray(pred, np.int64)
+    gt = np.asarray(gt, np.int64)
+    total = np.zeros(num - 1)
+    for i in range(len(pred)):
+        for j in range(1, num):
+            p = pred[i] == j
+            g = gt[i] == j
+            total[j - 1] += 2.0 * (p & g).sum() / (
+                1.0 + p.sum() + g.sum()
+            )
+    return total
+
+
 def compute_sdf(segmentation: np.ndarray) -> np.ndarray:
     """Signed distance field, normalized to [-1, 1]: negative inside,
     positive outside, zero on the boundary (utils/util.py:109-144)."""
