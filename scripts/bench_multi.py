@@ -25,57 +25,30 @@ import jax  # noqa: E402
 import bench  # noqa: E402
 
 # (tag, method, batch, env overrides)
+# The round-4 knob matrix (fused2/route/pool-pallas/bn-epilogue/smallc/
+# chain v1 rows) lives in git history (commit cf3b45b); its decisions are
+# recorded in RESULTS.md round 4. The round-5 default set is the headline
+# zoo at HEAD defaults plus the round-5 flat-seam knobs.
 DEFAULT_CONFIGS = [
     ("fs24_head_default", "fully_supervised", 24, {}),
-    ("fs24_fused2", "fully_supervised", 24, {"WSL4MIS_POOL_IMPL": "fused2"}),
-    ("fs24_route_measured", "fully_supervised", 24,
-     {"WSL4MIS_BANDED_ROUTE": "measured"}),
-    ("fs24_fused2_route", "fully_supervised", 24,
-     {"WSL4MIS_POOL_IMPL": "fused2", "WSL4MIS_BANDED_ROUTE": "measured"}),
-    ("fs128_default", "fully_supervised", 128, {}),
-    ("fs128_fused2", "fully_supervised", 128,
-     {"WSL4MIS_POOL_IMPL": "fused2"}),
-    ("fs256_fused2", "fully_supervised", 256,
-     {"WSL4MIS_POOL_IMPL": "fused2"}),
-    ("dmpls6_fused2", "dmpls", 6, {"WSL4MIS_POOL_IMPL": "fused2"}),
-    ("dmpls6_fused2_route", "dmpls", 6,
-     {"WSL4MIS_POOL_IMPL": "fused2", "WSL4MIS_BANDED_ROUTE": "measured"}),
-    # round-4 Pallas pool kernel (layout-pinned on both sides of every
-    # pool; ops/pallas/maxpool_pallas.py) vs the reduce-window default
-    ("fs24_pool_pallas", "fully_supervised", 24,
-     {"WSL4MIS_POOL_IMPL": "pallas"}),
-    ("pce24_pool_pallas", "pce", 24, {"WSL4MIS_POOL_IMPL": "pallas"}),
-    ("dmpls6_pool_pallas", "dmpls", 6, {"WSL4MIS_POOL_IMPL": "pallas"}),
-    ("crf6_pool_pallas", "pce_gatedcrf", 6,
-     {"WSL4MIS_POOL_IMPL": "pallas"}),
-    # round-4 BN-stats-in-conv-epilogue (banded_conv3x3_pallas_stats):
-    # the conv kernel emits per-channel sum/sum^2 so FusedBatchNorm skips
-    # its full-tensor stats reduction
-    ("fs24_bn_epilogue", "fully_supervised", 24,
-     {"WSL4MIS_BN_STATS": "epilogue"}),
-    ("dmpls6_bn_epilogue", "dmpls", 6, {"WSL4MIS_BN_STATS": "epilogue"}),
-    ("fs128_bn_epilogue", "fully_supervised", 128,
-     {"WSL4MIS_BN_STATS": "epilogue"}),
-    # round-4 small-c banded admission (stem conv + head dgrad leave the
-    # W-minor-layout direct lowering): default-on vs legacy routing
-    ("fs24_smallc", "fully_supervised", 24, {}),
-    ("fs24_no_smallc", "fully_supervised", 24,
-     {"WSL4MIS_BANDED_SMALLC": "0"}),
-    ("dmpls6_smallc", "dmpls", 6, {}),
-    ("dmpls6_no_smallc", "dmpls", 6, {"WSL4MIS_BANDED_SMALLC": "0"}),
-    ("pce24_smallc", "pce", 24, {}),
-    # round-4 flat-chained ConvBlocks (grouped conv1 output -> dense-lane
-    # BN/act/dropout -> grouped-input conv2; no unpack/re-pad/relayout
-    # seam inside a block)
-    ("fs24_chain", "fully_supervised", 24, {"WSL4MIS_CONV_CHAIN": "flat"}),
-    ("dmpls6_chain", "dmpls", 6, {"WSL4MIS_CONV_CHAIN": "flat"}),
-    ("pce24_chain", "pce", 24, {"WSL4MIS_CONV_CHAIN": "flat"}),
+    ("pce24_head_default", "pce", 24, {}),
+    ("dmpls6_head_default", "dmpls", 6, {}),
+    ("crf6_head_default", "pce_gatedcrf", 6, {}),
+    ("scribblevc6_head_default", "scribblevc", 6, {}),
+    # round-5 flat seams (no-ops once the defaults are promoted to flat)
+    ("fs24_flat_seams", "fully_supervised", 24,
+     {"WSL4MIS_POOL_CHAIN": "flat", "WSL4MIS_UP_CHAIN": "flat"}),
+    ("pce24_flat_seams", "pce", 24,
+     {"WSL4MIS_POOL_CHAIN": "flat", "WSL4MIS_UP_CHAIN": "flat"}),
+    ("dmpls6_flat_seams", "dmpls", 6,
+     {"WSL4MIS_POOL_CHAIN": "flat", "WSL4MIS_UP_CHAIN": "flat"}),
 ]
 
 KNOB_KEYS = (
     "WSL4MIS_POOL_IMPL", "WSL4MIS_BANDED_ROUTE", "WSL4MIS_CONV_IMPL",
     "WSL4MIS_BN_IMPL", "WSL4MIS_TCONV_IMPL", "WSL4MIS_AUG_IMPL",
     "WSL4MIS_BN_STATS", "WSL4MIS_BANDED_SMALLC", "WSL4MIS_CONV_CHAIN",
+    "WSL4MIS_POOL_CHAIN", "WSL4MIS_UP_CHAIN",
     "BENCH_BATCH",
 )
 
