@@ -619,10 +619,11 @@ def _flat_seam_ok(in_shape, f_cur: int, f_next: int, train: bool) -> bool:
     ConvBlock(f_cur -> f_next) seam can run entirely in the dense flat
     (N, H, W*C) domain: the producer can emit flat, the selection-matmul
     pool applies at the producer's output shape, and the consumer can
-    take flat input at the pooled shape. WSL4MIS_POOL_CHAIN=flat enables
-    it (TPU pool impl must resolve to fused3, the matching pool math);
-    default off until the on-chip A/B (model/r5_hook) promotes it."""
-    if os.environ.get("WSL4MIS_POOL_CHAIN", "off") != "flat":
+    take flat input at the pooled shape. WSL4MIS_POOL_CHAIN selects it
+    (TPU pool impl must resolve to fused3, the matching pool math);
+    default ON since the round-5 on-chip A/B: fs24 24.9 -> 23.1 ms,
+    pce 22.9, dmpls 9.3 (model/r5_hook_*_flat.json vs r4 fused3)."""
+    if os.environ.get("WSL4MIS_POOL_CHAIN", "flat") != "flat":
         return False
     impl = os.environ.get("WSL4MIS_POOL_IMPL")
     if impl is None:
@@ -695,7 +696,7 @@ def _up_flat_ok(skip_shape, skip_features: int, out_features: int,
     grouped convs (no materialized concat), conv2 chains grouped-in.
     Requires the tconv channel count to equal the skip's (true for every
     reference UpBlock) and banded+dense plans for the half-channel conv."""
-    if os.environ.get("WSL4MIS_UP_CHAIN", "off") != "flat":
+    if os.environ.get("WSL4MIS_UP_CHAIN", "flat") != "flat":
         return False
     if not train:
         return False
