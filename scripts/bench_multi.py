@@ -35,13 +35,12 @@ DEFAULT_CONFIGS = [
     ("dmpls6_head_default", "dmpls", 6, {}),
     ("crf6_head_default", "pce_gatedcrf", 6, {}),
     ("scribblevc6_head_default", "scribblevc", 6, {}),
-    # round-5 flat seams (no-ops once the defaults are promoted to flat)
-    ("fs24_flat_seams", "fully_supervised", 24,
-     {"WSL4MIS_POOL_CHAIN": "flat", "WSL4MIS_UP_CHAIN": "flat"}),
-    ("pce24_flat_seams", "pce", 24,
-     {"WSL4MIS_POOL_CHAIN": "flat", "WSL4MIS_UP_CHAIN": "flat"}),
-    ("dmpls6_flat_seams", "dmpls", 6,
-     {"WSL4MIS_POOL_CHAIN": "flat", "WSL4MIS_UP_CHAIN": "flat"}),
+    # flat seams are the HEAD defaults since df1e8dd; keep the reverse
+    # A/B (seams off) so the promotion's win stays measured at HEAD
+    ("fs24_seams_off", "fully_supervised", 24,
+     {"WSL4MIS_POOL_CHAIN": "off", "WSL4MIS_UP_CHAIN": "off"}),
+    ("dmpls6_seams_off", "dmpls", 6,
+     {"WSL4MIS_POOL_CHAIN": "off", "WSL4MIS_UP_CHAIN": "off"}),
 ]
 
 KNOB_KEYS = (
