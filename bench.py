@@ -196,7 +196,7 @@ def main():
     # attributes them — a tight spread within a process with a wide gap
     # across runs points at tunnel/compile-cache weather, not the program).
     reps = max(1, STEPS // SCAN_K)
-    n_repeat = int(os.environ.get("BENCH_REPEATS", "3"))
+    n_repeat = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
     samples = []
     for _ in range(n_repeat):
         t0 = time.perf_counter()

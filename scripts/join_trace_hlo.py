@@ -7,10 +7,11 @@ attributed to the graph seam that produced it.
 Usage: python scripts/join_trace_hlo.py TRACE_DIR HLO_TXT [n_steps] [rx]
 """
 
+import os
 import re
 import sys
 
-sys.path.insert(0, "scripts")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from analyze_trace import load_events  # noqa: E402
 
 

@@ -519,38 +519,7 @@ class ConvBlock(nn.Module):
             self.features, dtype=self.dtype, grouped_out=True,
             grouped_in_w=(w if in_flat_w is not None else 0),
         )(x)
-        y = FusedBatchNorm(
-            use_running_average=False, momentum=0.9, epsilon=1e-5,
-            name="BatchNorm_0",
-        )(yg, moments=(s1, s2), lane_tile=plan1.j)
-        y = nn.leaky_relu(y, negative_slope=0.01).astype(self.dtype)
-        if self.dropout_p > 0:
-            keep = 1.0 - self.dropout_p
-            mask = jax.random.bernoulli(
-                self.make_rng("dropout"), keep, y.shape
-            )
-            y = y * (mask.astype(self.dtype)
-                     * jnp.asarray(1.0 / keep, self.dtype))
-        if out_flat:
-            plan2 = plan_banded(self.features, self.features, h, w)
-            yg2, s1b, s2b = TorchConv(
-                self.features, dtype=self.dtype, grouped_in_w=w,
-                grouped_out=True,
-            )(y)
-            y2 = FusedBatchNorm(
-                use_running_average=False, momentum=0.9, epsilon=1e-5,
-                name="BatchNorm_1",
-            )(yg2, moments=(s1b, s2b), lane_tile=plan2.j)
-            y2 = nn.leaky_relu(y2, negative_slope=0.01).astype(self.dtype)
-            return y2.reshape(n, h, w * self.features)
-        y4, s1b, s2b = TorchConv(
-            self.features, dtype=self.dtype, grouped_in_w=w
-        )(y)
-        y4 = FusedBatchNorm(
-            use_running_average=False, momentum=0.9, epsilon=1e-5,
-            name="BatchNorm_1",
-        )(y4, moments=(s1b, s2b))
-        return nn.leaky_relu(y4, negative_slope=0.01).astype(self.dtype)
+        return self._chain_tail(yg, s1, s2, plan1.j, n, h, w, out_flat)
 
     def _chain_flat_split(self, a_flat, b_flat, w: int,
                           out_flat: bool = False):
@@ -568,10 +537,21 @@ class ConvBlock(nn.Module):
         yg, s1, s2 = TorchConv(
             self.features, dtype=self.dtype, split_flat_w=w
         )((a4, b4))
+        return self._chain_tail(yg, s1, s2, plan1.j, n, h, w, out_flat)
+
+    def _chain_tail(self, yg, s1, s2, lane_tile, n, h, w,
+                    out_flat: bool):
+        """Shared tail of the flat-chain variants: BN0 on the grouped
+        conv1 output (epilogue moments), LeakyReLU, dropout, then conv2
+        emitting either the dense flat (out_flat) or the 4D output.
+        Submodule call ORDER here fixes the flax auto-names, so it must
+        match the 4D path's (conv1 -> conv2); BN names are explicit."""
+        from ..ops.pallas.banded_conv_pallas import plan_banded
+
         y = FusedBatchNorm(
             use_running_average=False, momentum=0.9, epsilon=1e-5,
             name="BatchNorm_0",
-        )(yg, moments=(s1, s2), lane_tile=plan1.j)
+        )(yg, moments=(s1, s2), lane_tile=lane_tile)
         y = nn.leaky_relu(y, negative_slope=0.01).astype(self.dtype)
         if self.dropout_p > 0:
             keep = 1.0 - self.dropout_p
@@ -708,11 +688,10 @@ def _up_flat_ok(skip_shape, skip_features: int, out_features: int,
     n, h2, w2, cs = skip_shape
     if cs != skip_features:
         return False
-    if not chain_ok((n, h2, w2, cs), out_features, train):
-        return False
-    from ..ops.pallas.banded_conv_pallas import dense_chainable, plan_banded
-
-    return dense_chainable(plan_banded(cs, out_features, h2, w2))
+    # chain_ok already demands dense_chainable(plan_banded(cs,
+    # out_features, h2, w2)) — the split-kernel halves run on the same
+    # plan, so no extra eligibility condition exists for the up path.
+    return chain_ok((n, h2, w2, cs), out_features, train)
 
 
 class UpBlock(nn.Module):
