@@ -16,6 +16,7 @@ left() { echo $(( DEADLINE - $(date +%s) )); }
 
 # ---- 0. wait for chainB (it owns the TPU until it exits) --------------
 while kill -0 "$B_PID" 2>/dev/null; do
+  if [ "$(left)" -lt 600 ]; then echo "deadline while waiting for B"; exit 1; fi
   sleep 60
 done
 
@@ -85,7 +86,7 @@ if [ ! -f model/ACDC_pCE_fold1/scribble/iter_60000.pth ] \
     && [ "$(left)" -gt 1800 ]; then
   run_watch model/r5_pce60k.log 4500 900 --resume \
     python scripts/train_weakly_supervised_pCE_2D.py --fold fold1 \
-      --max_iterations 60000 --steps_per_call 10 --ckpt_every 3000
+      --max_iterations 60000 --steps_per_call 20 --ckpt_every 3000
 fi
 if [ -f model/ACDC_pCE_fold1/scribble/iter_60000.pth ] \
     && ! grep -qs 'mean' model/r5_pce60k_test.log 2>/dev/null \
@@ -100,7 +101,7 @@ hook
 if [ ! -f "model/ACDC/pCE_scribble2label_fold1/scribble/iter_60000.pth" ] \
     && [ "$(left)" -gt 2400 ]; then
   run_watch model/r5_s2l.log 5400 900 --resume \
-    python scripts/train_s2l.py --fold fold1 --steps_per_call 10 \
+    python scripts/train_s2l.py --fold fold1 --steps_per_call 20 \
       --ckpt_every 3000
 fi
 if [ -f "model/ACDC/pCE_scribble2label_fold1/scribble/iter_60000.pth" ] \
@@ -113,7 +114,7 @@ if [ ! -f "model/ACDC/pCE_Seg_USTM_fold1/scribble/iter_60000.pth" ] \
     && [ "$(left)" -gt 2400 ]; then
   run_watch model/r5_ustm.log 7200 900 --resume \
     python scripts/train_weakly_supervised_ustm_2D.py --fold fold1 \
-      --steps_per_call 10 --ckpt_every 3000
+      --steps_per_call 20 --ckpt_every 3000
 fi
 if [ -f "model/ACDC/pCE_Seg_USTM_fold1/scribble/iter_60000.pth" ] \
     && [ "$(left)" -gt 900 ]; then
@@ -130,7 +131,7 @@ for m in pce dmpls pce_gatedcrf; do
   if [ "$(left)" -gt 2700 ]; then
     run_watch "model/r5_matrix_$m.log" $(( $(left) - 2100 )) 1200 - \
       python scripts/launch_experiments.py --methods "$m" --folds all \
-        --extra "--max_iterations 15000 --steps_per_call 10 --resume --val_every 500 --snapshot_root model/r5_matrix"
+        --extra "--max_iterations 15000 --steps_per_call 20 --resume --val_every 500 --snapshot_root model/r5_matrix"
   fi
 done
 
