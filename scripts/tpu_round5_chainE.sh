@@ -1,11 +1,11 @@
 #!/bin/bash
-# Round-5 chain E — tail consumer after chainD's deadline (16:05 UTC).
-# chainD's own tail gates will likely fail on its expired budget after
-# the host-arm restarts ate the morning; this chain spends the last TPU
-# hour on (1) the bench zoo — which also re-seeds the XLA compile cache
-# for the driver's end-of-round BENCH run after the round's source edits
-# invalidated it — then (2) as many 15k matrix cells as fit, then (3) a
-# fresh step trace at HEAD defaults for the copy-family table.
+# Round-5 chain E (v2) — tail consumer after chainD. Priorities for the
+# last TPU window: (1) bench zoo — also re-seeds the XLA compile cache
+# for the driver's end-of-round BENCH run after today's source edits
+# invalidated it; (2) USTM fold1 (VERDICT item 9's second half — chainD's
+# remaining budget cannot reach its gate), tested with the newest
+# periodic checkpoint if 60k doesn't complete; (3) s2l guard if chainD
+# dropped it; (4) fold-major matrix cells; (5) fresh HEAD trace.
 set -x
 cd /root/repo
 mkdir -p model
@@ -50,7 +50,40 @@ if ! grep -qs 'fs24_head_default' model/r5_bench_multi.json 2>/dev/null; then
     run_watch model/r5_bench_tail.log 3600 1200 python scripts/bench_multi.py
 fi
 
-# ---- 2. matrix cells, fold-major so a cut leaves balanced coverage ----
+# ---- 2. USTM fold1 (resume-capable; partial run still gets tested) ----
+UDIR=model/ACDC/pCE_Seg_USTM_fold1/scribble
+if [ ! -f "$UDIR/iter_60000.pth" ] && [ "$(left)" -gt 1500 ]; then
+  run_watch model/r5_ustm.log $(( $(left) - 900 )) 1200 \
+    python scripts/train_weakly_supervised_ustm_2D.py --fold fold1 \
+      --steps_per_call 20 --ckpt_every 3000 --resume
+fi
+if [ -f "$UDIR/iter_60000.pth" ]; then
+  UCP=iter_60000.pth
+else
+  UCP=$(ls -t "$UDIR"/iter_*.pth 2>/dev/null | grep -v dice | head -1 | xargs -r basename)
+fi
+if [ -n "$UCP" ] && [ "$(left)" -gt 700 ]; then
+  run_watch model/r5_ustm_test.log 1500 900 python \
+    scripts/test_2D_fully.py --exp ACDC/pCE_Seg_USTM --fold fold1 \
+    --checkpoint "$UCP" --no_save
+fi
+
+# ---- 3. s2l guard (skipped instantly when chainD finished it) ---------
+SDIR=model/ACDC/pCE_scribble2label_fold1/scribble
+if [ ! -f "$SDIR/iter_60000.pth" ] && [ "$(left)" -gt 2400 ]; then
+  run_watch model/r5_s2l.log $(( $(left) - 900 )) 1200 \
+    python scripts/train_s2l.py --fold fold1 --steps_per_call 20 \
+      --ckpt_every 3000 --resume
+fi
+if [ -f "$SDIR/iter_60000.pth" ] \
+    && ! grep -qs '\[0' model/r5_s2l_test.log 2>/dev/null \
+    && [ "$(left)" -gt 700 ]; then
+  run_watch model/r5_s2l_test.log 1500 900 python \
+    scripts/test_2D_fully.py --exp ACDC/pCE_scribble2label --fold fold1 \
+    --no_save
+fi
+
+# ---- 4. matrix cells, fold-major so a cut leaves balanced coverage ----
 for fold in fold1 fold2 fold3 fold4 fold5; do
   for m in pce dmpls; do
     if [ "$(left)" -gt 1800 ]; then
@@ -61,7 +94,7 @@ for fold in fold1 fold2 fold3 fold4 fold5; do
   done
 done
 
-# ---- 3. fresh trace at HEAD defaults ----------------------------------
+# ---- 5. fresh trace at HEAD defaults ----------------------------------
 if [ "$(left)" -gt 700 ]; then
   TRACE_METHOD=fully_supervised TRACE_DIR=/tmp/trace_r5tail \
     run_watch model/r5_trace_tail.log 1100 900 python scripts/capture_trace.py
